@@ -1,0 +1,229 @@
+"""Resampling primitives: bilinear resize, grid sampling, flow warps, affine.
+
+TPU-native replacements for every resampling op the reference uses through
+cv2 / torch (`cv2.resize`, `cv2.warpAffine`, `F.interpolate`,
+`F.grid_sample`, `models/layers/warp.py:19`, `pwcnet.py:16` backwarp) —
+implemented as gather-based bilinear sampling that XLA lowers to efficient
+TPU gathers, fully differentiable, and exactly matching the half-pixel /
+align-corner conventions of the originals:
+
+  * ``resize_bilinear``  == torch ``F.interpolate(mode='bilinear',
+    align_corners=False)`` == ``cv2.resize(INTER_LINEAR)`` (half-pixel
+    centers, NO antialiasing, edge clamp). Note ``jax.image.resize`` is NOT
+    equivalent (it antialiases on downsampling), hence this implementation.
+  * ``grid_sample``      == torch ``F.grid_sample`` (normalized grid,
+    align_corners=False/True, zeros/border padding).
+  * ``warp``             == reference ``models/layers/warp.py:19-46``
+    (pixel-centered grid + flow, zeros padding).
+  * ``backwarp``         == reference ``models/alignment/pwcnet.py:16-38``
+    including its W/(W-1) flow scaling quirk and the validity mask.
+  * ``warp_affine``      == ``cv2.warpAffine(borderMode=CONSTANT)``:
+    forward matrix maps src->dst; sampling uses the inverse map on integer
+    pixel coordinates.
+
+All functions are channels-last (``[..., H, W, C]``) and broadcast over
+leading batch dims via vmap-free batched gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_resize_coords(in_size: int, out_size: int,
+                        scale: Optional[float] = None) -> jax.Array:
+    """Source sampling coordinates for half-pixel bilinear resize.
+
+    src = (dst + 0.5) * (in/out) - 0.5 (torch align_corners=False / cv2).
+    """
+    if scale is None:
+        scale = in_size / out_size
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    return (dst + 0.5) * scale - 0.5
+
+
+def _gather_axis_linear(x: jax.Array, coords: jax.Array, axis: int) -> jax.Array:
+    """Linear interpolation along one axis at float ``coords`` (edge clamp)."""
+    in_size = x.shape[axis]
+    i0 = jnp.floor(coords)
+    w = coords - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = i0 + 1
+    i0c = jnp.clip(i0, 0, in_size - 1)
+    i1c = jnp.clip(i1, 0, in_size - 1)
+    x0 = jnp.take(x, i0c, axis=axis)
+    x1 = jnp.take(x, i1c, axis=axis)
+    # reshape weights to broadcast along `axis`
+    shape = [1] * x.ndim
+    shape[axis] = coords.shape[0]
+    w = w.reshape(shape)
+    return x0 * (1.0 - w) + x1 * w
+
+
+def resize_bilinear(im: jax.Array, out_hw: Tuple[int, int],
+                    scale_hw: Optional[Tuple[float, float]] = None) -> jax.Array:
+    """Separable bilinear resize of ``[..., H, W, C]`` to ``out_hw``.
+
+    Half-pixel sampling, no antialiasing, edge-clamped — matches
+    ``cv2.resize(INTER_LINEAR)`` and torch ``F.interpolate(bilinear,
+    align_corners=False)``. ``scale_hw`` optionally fixes the coordinate
+    scale (torch semantics when called with an explicit ``scale_factor``).
+    """
+    h_axis = im.ndim - 3
+    w_axis = im.ndim - 2
+    sh = scale_hw[0] if scale_hw is not None else None
+    sw = scale_hw[1] if scale_hw is not None else None
+    rows = _axis_resize_coords(im.shape[h_axis], out_hw[0], sh)
+    cols = _axis_resize_coords(im.shape[w_axis], out_hw[1], sw)
+    im = _gather_axis_linear(im, rows, h_axis)
+    im = _gather_axis_linear(im, cols, w_axis)
+    return im
+
+
+def _batched_gather_hw(im: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+    """Gather pixels: im ``[*B, H, W, C]``, iy/ix ``[*B, h, w]`` int32 ->
+    ``[*B, h, w, C]``. Leading dims of im and indices must match."""
+    H, W = im.shape[-3], im.shape[-2]
+    flat = im.reshape(im.shape[:-3] + (H * W, im.shape[-1]))
+    idx = iy * W + ix  # [*B, h, w]
+    idx_flat = idx.reshape(idx.shape[:-2] + (-1,))  # [*B, h*w]
+    out = jnp.take_along_axis(flat, idx_flat[..., None], axis=-2)
+    return out.reshape(idx.shape + (im.shape[-1],))
+
+
+def sample_bilinear(im: jax.Array, coords: jax.Array,
+                    padding_mode: str = "zeros") -> jax.Array:
+    """Bilinear sampling of ``[*B, H, W, C]`` at pixel ``coords`` ``[*B, h, w, 2]``.
+
+    ``coords[..., 0]`` is x (width), ``coords[..., 1]`` is y, in integer-pixel
+    index space (pixel centers at integers). ``padding_mode``:
+      * ``'zeros'``  — out-of-range corner taps contribute 0 (torch zeros).
+      * ``'border'`` — coordinates clamp to the edge (torch border).
+    """
+    H, W = im.shape[-3], im.shape[-2]
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    out = None
+    for (dy, dx, w) in (
+        (0, 0, (1 - wy) * (1 - wx)),
+        (0, 1, (1 - wy) * wx),
+        (1, 0, wy * (1 - wx)),
+        (1, 1, wy * wx),
+    ):
+        yi = y0 + dy
+        xi = x0 + dx
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        val = _batched_gather_hw(im, yc, xc)
+        if padding_mode == "zeros":
+            mask = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)).astype(im.dtype)
+            w = w * mask
+        elif padding_mode != "border":
+            raise ValueError(f"unknown padding_mode {padding_mode!r}")
+        term = val * w[..., None].astype(im.dtype)
+        out = term if out is None else out + term
+    return out
+
+
+def grid_sample(im: jax.Array, grid: jax.Array, padding_mode: str = "zeros",
+                align_corners: bool = False) -> jax.Array:
+    """torch-semantics grid_sample: ``grid`` ``[*B, h, w, 2]`` in [-1, 1]."""
+    H, W = im.shape[-3], im.shape[-2]
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (W - 1)
+        y = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((gx + 1.0) * W - 1.0) * 0.5
+        y = ((gy + 1.0) * H - 1.0) * 0.5
+    return sample_bilinear(im, jnp.stack([x, y], axis=-1), padding_mode)
+
+
+def base_grid(h: int, w: int, dtype=jnp.float32) -> jax.Array:
+    """Integer-pixel identity sampling grid ``[h, w, 2]`` with (x, y) order."""
+    ys = jnp.arange(h, dtype=dtype)
+    xs = jnp.arange(w, dtype=dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def warp(feat: jax.Array, flow: jax.Array,
+         padding_mode: str = "zeros") -> jax.Array:
+    """Backward-warp ``feat`` ``[*B, H, W, C]`` by ``flow`` ``[*B, H, W, 2]``.
+
+    Pixel p of the output samples ``feat`` at ``p + flow[p]`` (flow in (x, y)
+    pixel units). Numerically equal to reference
+    ``models/layers/warp.py:19-46`` (pixel-centered grid, grid_sample
+    align_corners=False, zeros padding) — the 0.5-center offset and the -0.5
+    denormalization cancel to exactly ``p + flow``.
+    """
+    H, W = feat.shape[-3], feat.shape[-2]
+    coords = base_grid(H, W, jnp.float32) + flow.astype(jnp.float32)
+    return sample_bilinear(feat, coords, padding_mode)
+
+
+def backwarp(im: jax.Array, flow: jax.Array) -> jax.Array:
+    """PWC-Net-style backwarp with validity mask, matching reference
+    ``models/alignment/pwcnet.py:16-38`` exactly.
+
+    The reference normalizes flow by (S-1)/2 but denormalizes the grid with
+    align_corners=False (scale S/2), so the effective pixel displacement is
+    ``flow * S/(S-1)`` per axis; out-of-frame samples are zeroed via a
+    warped-ones mask thresholded at 0.999.
+    """
+    H, W = im.shape[-3], im.shape[-2]
+    fx = flow[..., 0] * (W / (W - 1.0))
+    fy = flow[..., 1] * (H / (H - 1.0))
+    coords = base_grid(H, W, jnp.float32) + jnp.stack([fx, fy], axis=-1)
+    ones = jnp.ones(im.shape[:-1] + (1,), im.dtype)
+    out = sample_bilinear(jnp.concatenate([im, ones], axis=-1), coords, "zeros")
+    mask = (out[..., -1:] > 0.999).astype(im.dtype)
+    return out[..., :-1] * mask
+
+
+def invert_2x3(tmat: jax.Array) -> jax.Array:
+    """Invert an affine ``[..., 2, 3]`` matrix (append [0,0,1], invert, crop)."""
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], tmat.dtype), tmat.shape[:-2] + (1, 3))
+    full = jnp.concatenate([tmat, bottom], axis=-2)
+    return jnp.linalg.inv(full)[..., :2, :]
+
+
+def warp_affine(im: jax.Array, tmat: jax.Array,
+                out_hw: Optional[Tuple[int, int]] = None) -> jax.Array:
+    """cv2.warpAffine equivalent: ``tmat`` ``[..., 2, 3]`` maps src -> dst.
+
+    Each destination pixel (integer coords) samples the source at
+    ``inv(tmat) @ (x, y, 1)`` with bilinear interpolation and zero border
+    (cv2 BORDER_CONSTANT), matching reference
+    ``data/synthetic_burst_generation.py:209-210``.
+    """
+    H, W = im.shape[-3], im.shape[-2]
+    if out_hw is None:
+        out_hw = (H, W)
+    inv = invert_2x3(tmat)
+    g = base_grid(out_hw[0], out_hw[1], jnp.float32)  # [h, w, 2] (x, y)
+    ones = jnp.ones(g.shape[:-1] + (1,), g.dtype)
+    homo = jnp.concatenate([g, ones], axis=-1)  # [h, w, 3]
+    coords = jnp.einsum("...ij,hwj->...hwi", inv, homo)  # [..., h, w, 2]
+    if coords.ndim == im.ndim - 1:
+        pass
+    return sample_bilinear(im, coords, "zeros")
+
+
+def apply_affine_to_points(tmat: jax.Array, points: jax.Array) -> jax.Array:
+    """Apply ``[..., 2, 3]`` affine to ``[..., h, w, 2]`` (x, y) points."""
+    ones = jnp.ones(points.shape[:-1] + (1,), points.dtype)
+    homo = jnp.concatenate([points, ones], axis=-1)
+    return jnp.einsum("...ij,...hwj->...hwi", tmat, homo)
