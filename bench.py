@@ -1,0 +1,72 @@
+"""Benchmark: SyntheticBurstVal-protocol eval forward throughput on TPU.
+
+Measures the jitted DBSR forward (default CVPR2021-size config, 14-frame
+48x48 packed-RAW bursts -> 384^2 linear RGB, the SyntheticBurstVal eval
+shape) in bursts/sec on one chip and prints ONE JSON line.
+
+Methodology: the timed region is a single device-side ``lax.fori_loop``
+executing ITERS forwards whose input varies with the loop index — this (a)
+prevents any caching/dedup of identical executions in the runtime/relay,
+(b) excludes per-call host dispatch latency (which through the axon tunnel
+is milliseconds and would swamp the measurement), so the number reflects
+on-chip throughput, which is what scales.
+
+``vs_baseline``: the reference publishes no throughput numbers (SURVEY.md
+section 6 — no hardware or FPS figures; CUDA-10.2-era install). We use a
+documented nominal estimate of 10 bursts/sec for the reference PyTorch
+model's 14-frame eval forward on a contemporary (V100-class) GPU as the
+denominator; revisit if a measured reference number becomes available.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dbsr_tpu.models.dbsr import dbsrnet_cvpr2021
+
+REFERENCE_NOMINAL_BURSTS_PER_SEC = 10.0
+BATCH = 4
+BURST_N = 14
+ITERS = 64
+
+
+def main():
+    net = dbsrnet_cvpr2021()
+    burst = jax.random.uniform(
+        jax.random.key(0), (BATCH, BURST_N, 48, 48, 4), jnp.float32)
+
+    params = net.init(jax.random.key(1), burst)
+
+    @jax.jit
+    def bench_loop(params, burst):
+        def body(i, acc):
+            b = burst * (1.0 + 1e-6 * i)  # defeat execution dedup/caching
+            pred, _ = net.apply(params, b)
+            return acc + pred.mean()
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    # compile + warmup on DIFFERENT data than the timed call: the axon
+    # relay caches executions by (executable, inputs), so re-running with
+    # identical inputs returns instantly and fakes the measurement.
+    warm = jax.random.uniform(jax.random.key(2), burst.shape, jnp.float32)
+    jax.block_until_ready(bench_loop(params, warm))
+
+    t0 = time.perf_counter()
+    out = bench_loop(params, burst)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    bursts_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "synburst_eval_forward_throughput",
+        "value": round(bursts_per_sec, 3),
+        "unit": "bursts/sec/chip",
+        "vs_baseline": round(bursts_per_sec / REFERENCE_NOMINAL_BURSTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

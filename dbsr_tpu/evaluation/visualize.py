@@ -1,0 +1,76 @@
+"""Result visualization: offline PNG panels instead of an interactive UI.
+
+The reference ships an interactive OpenCV viewer
+(``utils/opencv_plotting.py:22-464``, ``evaluation/*/visualize_results.py``)
+with zoom/pan/toggle. Headless TPU pods have no display, so the TPU-native
+equivalent renders side-by-side comparison panels (base frame upsampled |
+prediction | ground truth, plus per-image PSNR in the filename) to PNG
+files for offline inspection or TensorBoard upload.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dbsr_tpu.data.datasets import SyntheticBurstVal
+from dbsr_tpu.evaluation.network_param import NetworkParam
+from dbsr_tpu.ops import metrics as M
+from dbsr_tpu.ops.camera import process_linear_image_rgb, demosaic_naive
+from dbsr_tpu.ops.interp import resize_bilinear
+from dbsr_tpu.utils.png16 import write_png
+
+
+def _to_u8(im: np.ndarray) -> np.ndarray:
+    return (np.clip(im, 0, 1) * 255).astype(np.uint8)
+
+
+def _postprocess(im, meta):
+    """Apply the synthesis-time ISP for display when meta is available."""
+    try:
+        m = {k: jnp.asarray(np.asarray(v)) if hasattr(v, "shape") or
+             isinstance(v, (int, float)) else v for k, v in meta.items()}
+        return np.asarray(process_linear_image_rgb(jnp.asarray(im), m))
+    except Exception:
+        return np.asarray(im)
+
+
+def visualize_synburst(network_params: List[NetworkParam],
+                       dataset_root: str, out_dir: str,
+                       workspace_dir: str = "",
+                       max_bursts: int = 10,
+                       boundary_ignore: int = 40) -> None:
+    dataset = SyntheticBurstVal(dataset_root)
+    os.makedirs(out_dir, exist_ok=True)
+    for n in network_params:
+        net, params, _ = n.load_net(workspace_dir)
+
+        @jax.jit
+        def forward(params, burst):
+            pred, _ = net.apply(params, burst[None])
+            return jnp.clip(pred[0], 0.0, 1.0)
+
+        d = os.path.join(out_dir, n.get_unique_name())
+        os.makedirs(d, exist_ok=True)
+        for idx in range(min(max_bursts, len(dataset))):
+            burst, gt, meta = dataset[idx]
+            b = burst[:n.burst_sz] if n.burst_sz else burst
+            pred = np.asarray(forward(params, jnp.asarray(b)))
+            psnr = float(M.psnr(jnp.asarray(pred)[None],
+                                jnp.asarray(gt)[None],
+                                boundary_ignore=boundary_ignore))
+
+            base = np.asarray(demosaic_naive(jnp.asarray(burst[0])))
+            scale = gt.shape[0] // base.shape[0]
+            base_up = np.asarray(resize_bilinear(
+                jnp.asarray(base), (gt.shape[0], gt.shape[1])))
+
+            panel = np.concatenate(
+                [_to_u8(_postprocess(x, meta)) for x in
+                 (base_up, pred, gt)], axis=1)
+            write_png(os.path.join(
+                d, f"{meta['burst_name']}_psnr{psnr:.2f}.png"), panel)

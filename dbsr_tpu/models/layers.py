@@ -1,0 +1,223 @@
+"""Reusable flax.linen layers (NHWC): conv blocks, residual blocks,
+sub-pixel upsampling with ICNR init and Gaussian smoothing.
+
+TPU-native re-design of reference ``models/layers/{blocks,upsampling,
+initializations}.py``. Initialization matches torch ``nn.Conv2d`` defaults
+(kaiming-uniform a=sqrt(5) => U[-1/sqrt(fan_in), 1/sqrt(fan_in)] for both
+kernel and bias) so training dynamics are comparable to the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Conv2d default weight init for HWIO kernels.
+
+    kaiming_uniform(a=sqrt(5)) reduces to U[-b, b] with
+    b = 1/sqrt(fan_in), fan_in = kh*kw*in_ch.
+    """
+    kh, kw, in_ch, _ = shape
+    bound = 1.0 / math.sqrt(kh * kw * in_ch)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def make_torch_bias_init(fan_in: int):
+    """torch nn.Conv2d default bias init: U[-1/sqrt(fan_in), 1/sqrt(fan_in)]."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound,
+                                  maxval=bound)
+
+    return init
+
+
+def get_activation(name: str) -> Optional[Callable]:
+    """Activation factory (reference ``blocks.py:19-36``)."""
+    if name == "relu":
+        return nn.relu
+    if name == "lrelu":
+        return lambda x: nn.leaky_relu(x, negative_slope=0.1)
+    if name == "sigmoid":
+        return nn.sigmoid
+    if name == "tanh":
+        return nn.tanh
+    if name == "none":
+        return None
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class ConvBlock(nn.Module):
+    """conv (+ optional BN) (+ activation) — reference ``blocks.py:46-60``."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    batch_norm: bool = False
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding="SAME" if self.stride == 1 else
+            [( (self.kernel_size - 1) // 2, (self.kernel_size - 1) // 2 )] * 2,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train)(x)
+        act = get_activation(self.activation)
+        return act(x) if act is not None else x
+
+
+class ResBlock(nn.Module):
+    """Post-activation residual block: act(conv-act-conv(x) + x)
+    (reference ``blocks.py:63-97``)."""
+    features: int
+    batch_norm: bool = False
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = ConvBlock(self.features, 3, batch_norm=self.batch_norm,
+                        activation=self.activation, dtype=self.dtype)(x, train)
+        out = ConvBlock(self.features, 3, batch_norm=self.batch_norm,
+                        activation="none", dtype=self.dtype)(out, train)
+        act = get_activation(self.activation)
+        return act(out + x)
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """NHWC pixel shuffle with torch channel convention:
+    ``out[..., h*r+i, w*r+j, c] = in[..., h, w, c*r*r + i*r + j]``."""
+    *lead, H, W, C = x.shape
+    assert C % (r * r) == 0
+    c_out = C // (r * r)
+    x = x.reshape(*lead, H, W, c_out, r, r)
+    # [..., H, W, c, i, j] -> [..., H, i, W, j, c]
+    x = jnp.moveaxis(x, (-3, -2, -1), (-1, -4, -2))
+    return x.reshape(*lead, H * r, W * r, c_out)
+
+
+def icnr_init(r: int):
+    """ICNR initializer for the pre-shuffle conv kernel (HWIO).
+
+    Draws a kaiming-normal subkernel with out_ch/r^2 channels and repeats
+    each output channel r^2 times, so the r^2 sub-pixel phases start
+    identical and pixel-shuffle produces a checkerboard-free (nearest-
+    upsampled) output at init. Re-design of reference
+    ``initializations.py:21-38`` (arXiv:1707.02937).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, in_ch, out_ch = shape
+        assert out_ch % (r * r) == 0
+        sub = nn.initializers.kaiming_normal()(
+            key, (kh, kw, in_ch, out_ch // (r * r)), dtype)
+        return jnp.repeat(sub, r * r, axis=-1)
+
+    return init
+
+
+class PixShuffleUpsampler(nn.Module):
+    """Sub-pixel convolution upsampler (reference ``upsampling.py:22-66``):
+    1x1 conv to ``features * r^2`` -> pixel shuffle x r -> optional
+    depthwise Gaussian blur (zero padding, matching ``F.conv2d`` default)
+    to suppress checkerboard artifacts."""
+    features: int
+    upsample_factor: int = 2
+    activation: str = "relu"
+    icnrinit: bool = False
+    gauss_blur_sd: Optional[float] = None
+    gauss_ksz: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.upsample_factor
+        pre = self.features * r * r
+        fan_in = x.shape[-1]
+        x = nn.Conv(
+            pre, (1, 1), use_bias=not self.icnrinit,
+            kernel_init=icnr_init(r) if self.icnrinit else torch_conv_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            dtype=self.dtype,
+        )(x)
+        act = get_activation(self.activation)
+        if act is not None:
+            x = act(x)
+        x = pixel_shuffle(x, r)
+
+        if self.gauss_blur_sd is not None:
+            from dbsr_tpu.ops.filtering import gauss_2d
+            k = gauss_2d(self.gauss_ksz, self.gauss_blur_sd, (0.0, 0.0),
+                         density=True)[0]
+            k = (k / k.sum()).astype(x.dtype)
+            C = x.shape[-1]
+            kern = jnp.broadcast_to(k[:, :, None, None],
+                                    (self.gauss_ksz, self.gauss_ksz, 1, C))
+            lead = x.shape[:-3]
+            xx = x.reshape((-1,) + x.shape[-3:])
+            xx = jax.lax.conv_general_dilated(
+                xx, kern, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C)
+            x = xx.reshape(lead + xx.shape[-3:])
+        return x
+
+
+class TorchConvTranspose(nn.Module):
+    """Transposed conv with exact torch ``nn.ConvTranspose2d(k, s, p)``
+    semantics: input dilated by s, padded by k-1-p, correlated with the
+    spatially-flipped kernel. Needed for PWC-Net's 4x4/s2/p1 up-convs so
+    converted torch weights reproduce identical outputs."""
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        # torch convtranspose default init: kaiming_uniform(a=sqrt(5)) with
+        # fan_in computed from weight shape [in, out, k, k] -> out*k*k? torch
+        # uses weight.size(1)*k*k = out*k*k; bias bound likewise.
+        fan_in = self.features * k * k
+        bound = 1.0 / math.sqrt(fan_in)
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.random.uniform(
+                key, shape, self.dtype, -bound, bound),
+            (k, k, in_ch, self.features))
+        bias = self.param(
+            "bias",
+            lambda key, shape: jax.random.uniform(
+                key, shape, self.dtype, -bound, bound),
+            (self.features,))
+        pad = k - 1 - p
+        out = jax.lax.conv_general_dilated(
+            x, jnp.flip(kernel, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=[(pad, pad), (pad, pad)],
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + bias

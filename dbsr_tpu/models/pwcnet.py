@@ -1,0 +1,158 @@
+"""PWC-Net optical flow (flax, NHWC) with the Pallas correlation kernel.
+
+TPU-native re-design of reference ``models/alignment/pwcnet.py`` (the
+sniklaus pytorch-pwc port): a 6-level feature pyramid extractor, coarse-to-
+fine decoders with an 81-channel cost volume (our Pallas kernel,
+``dbsr_tpu/ops/correlation.py``), DenseNet-style feature aggregation, a
+dilated-conv context refiner, and a wrapper that resizes inputs to a
+multiple of 64 and rescales the ( x20 ) flow back to input resolution
+(reference ``pwcnet.py:234-281``).
+
+Level conventions follow the reference: pyramid levels 1..6 halve
+resolution each; decoders run at levels 6->2; upsampled flow is pre-scaled
+by [5.0, 2.5, 1.25, 0.625] at levels 2..5 before backwarping
+(reference ``pwcnet.py:121``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dbsr_tpu.models.layers import (ConvBlock, TorchConvTranspose,
+                                    make_torch_bias_init,
+                                    torch_conv_kernel_init)
+from dbsr_tpu.ops.correlation import cost_volume
+from dbsr_tpu.ops.interp import backwarp, resize_bilinear
+
+# feature channels of pyramid levels 1..6
+_PYRAMID_CH = (16, 32, 64, 96, 128, 196)
+# decoder-level extra feature channels (level -> pyramid features used)
+_LEVEL_FEAT = {2: 32, 3: 64, 4: 96, 5: 128}
+# upsampled-flow scale factor applied before backwarp at each decoder level
+_BACKWARP_SCALE = {2: 5.0, 3: 2.5, 4: 1.25, 5: 0.625}
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+def _conv(features, stride=1, dilation=1, name=None):
+    return ConvBlock(features, kernel_size=3, stride=stride,
+                     dilation=dilation, activation="none", name=name)
+
+
+class Extractor(nn.Module):
+    """6-level strided conv pyramid (reference ``pwcnet.py:45-111``)."""
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for lvl, ch in enumerate(_PYRAMID_CH):
+            x = _leaky(_conv(ch, stride=2, name=f"lvl{lvl + 1}_conv0")(x))
+            x = _leaky(_conv(ch, name=f"lvl{lvl + 1}_conv1")(x))
+            x = _leaky(_conv(ch, name=f"lvl{lvl + 1}_conv2")(x))
+            feats.append(x)
+        return feats
+
+
+class Decoder(nn.Module):
+    """One coarse-to-fine flow decoder level (reference ``pwcnet.py:113-184``).
+
+    Dense aggregation: each of the 5 conv stages consumes the concat of all
+    previous stage outputs + the input volume; a final conv maps to 2-channel
+    flow.
+    """
+    level: int
+
+    @nn.compact
+    def __call__(self, feat_first, feat_second, prev):
+        if prev is None:
+            volume = _leaky(cost_volume(feat_first, feat_second))
+            feat = volume
+            flow_up = None
+        else:
+            flow_up = TorchConvTranspose(2, 4, 2, 1, name="upflow")(
+                prev["flow"])
+            feat_up = TorchConvTranspose(2, 4, 2, 1, name="upfeat")(
+                prev["feat"])
+            warped = backwarp(feat_second,
+                              flow_up * _BACKWARP_SCALE[self.level])
+            volume = _leaky(cost_volume(feat_first, warped))
+            feat = jnp.concatenate([volume, feat_first, flow_up, feat_up],
+                                   axis=-1)
+
+        for i, ch in enumerate((128, 128, 96, 64, 32)):
+            out = _leaky(_conv(ch, name=f"dense{i}")(feat))
+            feat = jnp.concatenate([out, feat], axis=-1)
+        flow = _conv(2, name="flow_head")(feat)
+        return {"flow": flow, "feat": feat}
+
+
+class Refiner(nn.Module):
+    """Dilated-conv context network (reference ``pwcnet.py:186-207``)."""
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (ch, dil) in enumerate(
+                ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))):
+            x = _leaky(_conv(ch, dilation=dil, name=f"ctx{i}")(x))
+        return _conv(2, name="ctx_flow")(x)
+
+
+class PWCFlowNet(nn.Module):
+    """Core PWC network: pyramid + 5 decoders + refiner
+    (reference ``pwcnet.py:221-231``). Inputs are two ``[B, H, W, 3]``
+    images with H, W multiples of 64; output is level-2 flow (1/4 res,
+    unscaled)."""
+
+    @nn.compact
+    def __call__(self, im_first, im_second):
+        extractor = Extractor(name="extractor")
+        f1 = extractor(im_first)
+        f2 = extractor(im_second)
+
+        est = Decoder(6, name="dec6")(f1[5], f2[5], None)
+        est = Decoder(5, name="dec5")(f1[4], f2[4], est)
+        est = Decoder(4, name="dec4")(f1[3], f2[3], est)
+        est = Decoder(3, name="dec3")(f1[2], f2[2], est)
+        est = Decoder(2, name="dec2")(f1[1], f2[1], est)
+
+        return est["flow"] + Refiner(name="refiner")(est["feat"])
+
+
+class PWCNet(nn.Module):
+    """User-facing flow wrapper (reference ``pwcnet.py:234-281``).
+
+    ``__call__(source, target)`` estimates flow such that
+    ``target(p) ~= source(p + flow(p))`` — note the reference feeds
+    ``net(target, source)`` internally. Inputs are resized to the next
+    multiple of 64, the level-2 flow is scaled x20, bilinearly upsampled to
+    the input resolution, and per-axis rescaled by (input/preprocessed).
+    """
+
+    @nn.compact
+    def __call__(self, source_img, target_img):
+        assert source_img.shape == target_img.shape
+        lead = source_img.shape[:-3]
+        H, W = source_img.shape[-3], source_img.shape[-2]
+        src = source_img.reshape((-1, H, W, 3))
+        tgt = target_img.reshape((-1, H, W, 3))
+
+        Hp = int(math.ceil(H / 64.0) * 64)
+        Wp = int(math.ceil(W / 64.0) * 64)
+        if (Hp, Wp) != (H, W):
+            src_r = resize_bilinear(src, (Hp, Wp))
+            tgt_r = resize_bilinear(tgt, (Hp, Wp))
+        else:
+            src_r, tgt_r = src, tgt
+
+        flow = PWCFlowNet(name="net")(tgt_r, src_r)
+        flow = 20.0 * resize_bilinear(flow, (H, W))
+        scale = jnp.array([W / Wp, H / Hp], flow.dtype)
+        flow = flow * scale
+        return flow.reshape(lead + (H, W, 2))

@@ -1,0 +1,158 @@
+"""Checkpoint save/restore with architecture reconstruction.
+
+Re-design of the reference checkpoint subsystem
+(`trainers/base_trainer.py:92-201`, `admin/model_constructor.py:5-45`,
+`admin/loading.py:10-101`):
+
+  * one file per epoch: ``<net_name>_ep{epoch:04d}.ckpt`` — a msgpack blob
+    (flax.serialization) of {params, opt_state, step} plus a JSON header
+    with epoch, stats, settings, and a **network spec** (module path, class
+    name, constructor kwargs) so the architecture can be rebuilt from the
+    checkpoint alone (the reference's ``NetConstructor`` capability);
+  * atomic write via tmp-file + rename;
+  * resolution semantics: latest (glob highest epoch) / by-epoch /
+    absolute path — matching ``admin/loading.py:24-93``.
+
+No orbax dependency: flax.serialization keeps the format simple, portable
+and dependency-light (checkpoints are host-RAM-sized for this model class).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import re
+import struct as _struct
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+_MAGIC = b"DBSRTPU1"
+
+
+def network_spec(net) -> Dict[str, Any]:
+    """Serializable spec of a flax module: import path + dataclass kwargs
+    (the equivalent of the reference's ``net.constructor`` record,
+    ``admin/model_constructor.py:24-37``)."""
+    kwargs = {}
+    for f in dataclasses.fields(net):
+        if f.name in ("parent", "name"):
+            continue
+        v = getattr(net, f.name)
+        kwargs[f.name] = v
+    return {
+        "module": type(net).__module__,
+        "cls": type(net).__name__,
+        "kwargs": kwargs,
+    }
+
+
+def build_network(spec: Dict[str, Any]):
+    """Rebuild a flax module from a ``network_spec`` record
+    (the equivalent of ``NetConstructor.get``,
+    ``admin/model_constructor.py:39-45``). ``kwargs`` may be overridden by
+    the caller merging into ``spec['kwargs']`` first."""
+    import importlib
+
+    mod = importlib.import_module(spec["module"])
+    cls = getattr(mod, spec["cls"])
+    return cls(**spec["kwargs"])
+
+
+def save_checkpoint(directory: str, net_name: str, epoch: int, state,
+                    net=None, stats: Optional[dict] = None,
+                    settings: Optional[dict] = None) -> str:
+    """Atomically write ``<dir>/<net_name>_ep{epoch:04d}.ckpt``."""
+    os.makedirs(directory, exist_ok=True)
+    header = {
+        "epoch": int(epoch),
+        "net_name": net_name,
+        "stats": stats or {},
+        "settings": settings or {},
+    }
+    if net is not None:
+        header["net_spec"] = network_spec(net)
+    header_bytes = json.dumps(header).encode()
+    blob = serialization.to_bytes(state)
+
+    path = os.path.join(directory, f"{net_name}_ep{epoch:04d}.ckpt")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(_struct.pack("<Q", len(header_bytes)))
+        f.write(header_bytes)
+        f.write(blob)
+    os.rename(tmp, path)
+    return path
+
+
+def _read(path: str) -> Tuple[dict, bytes]:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a dbsr_tpu checkpoint")
+        (hlen,) = _struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen).decode())
+        blob = f.read()
+    return header, blob
+
+
+def list_checkpoints(directory: str, net_name: str):
+    """Sorted (epoch, path) pairs for ``net_name`` in ``directory``."""
+    pat = os.path.join(directory, f"{net_name}_ep*.ckpt")
+    out = []
+    for p in glob.glob(pat):
+        m = re.search(r"_ep(\d+)\.ckpt$", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def resolve_checkpoint(directory: str, net_name: str,
+                       epoch: Optional[int] = None) -> Optional[str]:
+    """latest (epoch=None) / by-epoch / None if absent — reference
+    ``base_trainer.py:141-160`` semantics."""
+    ckpts = list_checkpoints(directory, net_name)
+    if not ckpts:
+        return None
+    if epoch is None:
+        return ckpts[-1][1]
+    for e, p in ckpts:
+        if e == epoch:
+            return p
+    raise FileNotFoundError(
+        f"no checkpoint for epoch {epoch} of {net_name} in {directory}")
+
+
+def load_checkpoint(path: str, state_template=None):
+    """Load (header, state). With a ``state_template`` pytree the blob is
+    deserialized into it; otherwise the raw msgpack dict is returned
+    (useful with ``build_network`` to reconstruct params without source
+    config — the reference's ``load_network`` path)."""
+    header, blob = _read(path)
+    if state_template is not None:
+        state = serialization.from_bytes(state_template, blob)
+    else:
+        state = serialization.msgpack_restore(blob)
+    return header, state
+
+
+def load_network(path: str, **kwarg_overrides):
+    """Rebuild (net, params) from a checkpoint alone (reference
+    ``admin/loading.py:24-93`` + ``NetConstructor.get``)."""
+    header, raw = load_checkpoint(path)
+    if "net_spec" not in header:
+        raise ValueError(f"{path} has no net_spec; cannot rebuild network")
+    spec = dict(header["net_spec"])
+    spec["kwargs"] = {**spec["kwargs"], **kwarg_overrides}
+    # JSON round-trips tuples to lists; normalize common fields
+    for k, v in spec["kwargs"].items():
+        if isinstance(v, list):
+            spec["kwargs"][k] = tuple(v)
+    net = build_network(spec)
+    params = raw["params"] if "params" in raw else raw
+    return net, params, header

@@ -1,0 +1,231 @@
+"""Trainer: jitted train/eval steps with on-device synthesis, epoch loop
+with fail-safe restart, checkpoint/resume, stats and TensorBoard logging.
+
+Re-design of reference ``trainers/{base_trainer,simple_trainer}.py``:
+
+  * the per-batch work (burst synthesis -> forward -> loss -> backward ->
+    Adam update) is ONE jitted function; the host loop only feeds RGB crop
+    batches and accumulates scalar stats (reference splits this across
+    dataloader workers + a Python train loop);
+  * fail-safe: a crashed epoch reloads the latest checkpoint and retries,
+    up to ``max_failures`` times (reference ``base_trainer.py:59-85``);
+  * checkpoints are atomic per-epoch files with architecture spec embedded
+    (``dbsr_tpu/training/checkpoint.py``), resume = load latest
+    (reference ``base_trainer.py:92-201``);
+  * validation loaders run every ``epoch_interval`` epochs with a loss-only
+    step (reference ``simple_trainer.py:58-66``);
+  * optional ``jax.sharding.Mesh``: batch sharded over the ``data`` axis,
+    params replicated, XLA all-reduces gradients over ICI (replacing
+    ``admin/multigpu.py``'s DataParallel).
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dbsr_tpu.data.synthetic import BurstConfig, synthesize_batch
+from dbsr_tpu.parallel.mesh import data_sharding, replicated_sharding
+from dbsr_tpu.training import checkpoint as ckpt
+from dbsr_tpu.training.state import TrainState
+from dbsr_tpu.training.stats import StatsDict
+from dbsr_tpu.training.tblogger import TensorboardWriter
+
+
+@dataclass
+class LoaderSpec:
+    """One data loader: a host batcher + schedule metadata (reference
+    ``data/loader.py:19-60`` attributes name/training/epoch_interval)."""
+    name: str
+    batcher: object          # CropBatcher-like: next_batch() -> np [B,H,W,3]
+    training: bool = True
+    epoch_interval: int = 1
+
+    def num_batches(self) -> int:
+        return len(self.batcher)
+
+
+class Trainer:
+    def __init__(self, net, actor_fn: Callable, tx, loaders: List[LoaderSpec],
+                 burst_cfg: BurstConfig, workspace_dir: str,
+                 net_name: str = "dbsr", tensorboard_dir: Optional[str] = None,
+                 mesh=None, print_interval: int = 50, seed: int = 0,
+                 description: str = "", prepare_fn: Optional[Callable] = None,
+                 init_burst_shape: Optional[tuple] = None):
+        """``prepare_fn(key, host_batch) -> batch dict`` maps the host
+        loader's output to the training batch on device. Default: on-device
+        burst synthesis from RGB crops (``synthesize_batch`` with
+        ``burst_cfg``). Pass an identity-like fn for pre-formed batches
+        (e.g. BurstSR real bursts)."""
+        self.net = net
+        self.actor_fn = actor_fn
+        self.tx = tx
+        self.loaders = loaders
+        self.cfg = burst_cfg
+        self.prepare_fn = prepare_fn
+        self.init_burst_shape = init_burst_shape
+        self.workspace_dir = workspace_dir
+        self.net_name = net_name
+        self.mesh = mesh
+        self.print_interval = print_interval
+        self.epoch = 0
+        self.seed = seed
+        self.stats: Dict[str, StatsDict] = {
+            l.name: StatsDict() for l in loaders}
+        self.tb = TensorboardWriter(
+            tensorboard_dir, [l.name for l in loaders]) \
+            if tensorboard_dir else None
+        if self.tb:
+            self.tb.write_info(net_name, description)
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        cfg = self.cfg
+        tx = self.tx
+        actor = self.actor_fn
+        prepare = self.prepare_fn or (
+            lambda key, crops: synthesize_batch(key, crops, cfg))
+
+        def train_step(state: TrainState, key, crops):
+            batch = prepare(key, crops)
+
+            def loss_fn(p):
+                return actor(p, batch)
+
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      opt_state=opt_state)
+            return new_state, stats
+
+        def eval_step(state: TrainState, key, crops):
+            batch = prepare(key, crops)
+            _, stats = actor(state.params, batch)
+            return stats
+
+        if self.mesh is not None:
+            ds = data_sharding(self.mesh)
+            rs = replicated_sharding(self.mesh)
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(rs, None, ds),
+                out_shardings=(rs, None))
+            self._eval_step = jax.jit(
+                eval_step, in_shardings=(rs, None, ds))
+            self._device_put = lambda b: jax.device_put(b, ds)
+        else:
+            self._train_step = jax.jit(train_step)
+            self._eval_step = jax.jit(eval_step)
+            self._device_put = jax.device_put
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        burst_shape = self.init_burst_shape or (
+            (1, self.cfg.burst_size) + self.cfg.burst_hw + (4,))
+        params = self.net.init(jax.random.key(self.seed),
+                               jnp.zeros(burst_shape))
+        state = TrainState.create(params, self.tx)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated_sharding(self.mesh))
+        return state
+
+    # ------------------------------------------------------------------
+    def _cycle(self, state: TrainState, loader: LoaderSpec):
+        """One pass over a loader (reference
+        ``simple_trainer.py:58-89``)."""
+        stats = self.stats[loader.name]
+        stats.new_epoch()
+        n = loader.num_batches()
+        key = jax.random.fold_in(
+            jax.random.key(self.seed + 1), self.epoch * 131 +
+            (0 if loader.training else 1))
+
+        from dbsr_tpu.data.pipeline import DevicePrefetcher
+        prefetch = DevicePrefetcher(loader.batcher.next_batch, n,
+                                    self._device_put)
+        t0 = time.perf_counter()
+        samples_done = 0
+        for i, crops in enumerate(prefetch):
+            k = jax.random.fold_in(key, i)
+            if loader.training:
+                state, step_stats = self._train_step(state, k, crops)
+            else:
+                step_stats = self._eval_step(state, k, crops)
+            bs = jax.tree_util.tree_leaves(crops)[0].shape[0]
+            samples_done += bs
+            stats.update_from(
+                {k2: float(v) for k2, v in step_stats.items()}, n=bs)
+            if (i + 1) % self.print_interval == 0 or (i + 1) == n:
+                fps = samples_done / (time.perf_counter() - t0)
+                line = f"[{loader.name}: {self.epoch}, {i + 1}/{n}] " \
+                       f"FPS: {fps:.1f}, " + ", ".join(
+                           f"{k2}: {m.avg:.5f}" for k2, m in stats.items())
+                print(line, flush=True)
+        return state
+
+    def _save(self, state: TrainState):
+        ckpt.save_checkpoint(
+            self.workspace_dir, self.net_name, self.epoch, state,
+            net=self.net,
+            stats={name: s.averages() for name, s in self.stats.items()})
+
+    def _load_latest(self, state: TrainState) -> TrainState:
+        path = ckpt.resolve_checkpoint(self.workspace_dir, self.net_name)
+        if path is None:
+            return state
+        header, state = ckpt.load_checkpoint(path, state)
+        self.epoch = header["epoch"]
+        print(f"resumed from {path} (epoch {self.epoch})", flush=True)
+        return state
+
+    # ------------------------------------------------------------------
+    def train(self, max_epochs: int, load_latest: bool = True,
+              fail_safe: bool = True, max_failures: int = 10) -> TrainState:
+        """Epoch loop with crash-restart (reference
+        ``base_trainer.py:51-86``)."""
+        state = self.init_state()
+        if load_latest:
+            state = self._load_latest(state)
+
+        failures = 0
+        while self.epoch < max_epochs:
+            try:
+                self.epoch += 1
+                for loader in self.loaders:
+                    if self.epoch % loader.epoch_interval == 0:
+                        state = self._cycle(state, loader)
+                self._save(state)
+                if self.tb:
+                    for loader in self.loaders:
+                        if self.epoch % loader.epoch_interval == 0:
+                            self.tb.write_epoch(
+                                loader.name,
+                                self.stats[loader.name].averages(),
+                                self.epoch)
+            except Exception:
+                if not fail_safe:
+                    raise
+                failures += 1
+                if failures > max_failures:
+                    raise
+                print("Training crashed at epoch "
+                      f"{self.epoch}; restarting from last checkpoint "
+                      f"(failure {failures}/{max_failures})", flush=True)
+                print(traceback.format_exc(), flush=True)
+                self.epoch -= 1
+                state = self.init_state()
+                state = self._load_latest(state)
+        print("Finished training!", flush=True)
+        return state

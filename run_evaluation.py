@@ -1,0 +1,81 @@
+"""Evaluation CLI.
+
+Re-design of the reference's ``evaluation/{synburst,burstsr}/*.py`` script
+trio as one entry point:
+
+    python run_evaluation.py synburst compute_score <experiment> [opts]
+    python run_evaluation.py synburst save_results <experiment> [opts]
+    python run_evaluation.py synburst visualize <experiment> [opts]
+    python run_evaluation.py burstsr  compute_score <experiment> [opts]
+    python run_evaluation.py burstsr  save_results <experiment> [opts]
+
+``<experiment>`` names a module in ``dbsr_tpu/evaluation/experiments``
+whose ``main()`` returns the ``NetworkParam`` list (config-as-code, same
+contract as the reference).
+"""
+
+import argparse
+import importlib
+import os
+
+
+def _load_experiment(name):
+    mod = importlib.import_module(f"dbsr_tpu.evaluation.experiments.{name}")
+    return mod.main()
+
+
+def main():
+    p = argparse.ArgumentParser(description="Evaluate DBSR networks.")
+    p.add_argument("benchmark", choices=["synburst", "burstsr"])
+    p.add_argument("action",
+                   choices=["compute_score", "save_results", "visualize"])
+    p.add_argument("experiment", help="experiment module name, "
+                                      "e.g. dbsr_default")
+    p.add_argument("--dataset_root", default=None)
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--load_saved", action="store_true",
+                   help="score saved predictions instead of running nets")
+    p.add_argument("--max_bursts", type=int, default=None)
+    p.add_argument("--no_lpips", action="store_true")
+    args = p.parse_args()
+
+    from dbsr_tpu.environment import env_settings
+    env = env_settings()
+    network_params = _load_experiment(args.experiment)
+    workspace = env.workspace_dir
+
+    if args.benchmark == "synburst":
+        root = args.dataset_root or env.synburstval_dir
+        from dbsr_tpu.evaluation import synburst as ev
+        if args.action == "compute_score":
+            ev.compute_score(
+                network_params, root, workspace_dir=workspace,
+                saved_results_root=(args.out_dir if args.load_saved else None),
+                with_lpips=not args.no_lpips, max_bursts=args.max_bursts)
+        elif args.action == "save_results":
+            out = args.out_dir or os.path.join(workspace, "synburst_results")
+            ev.save_results(network_params, root, out,
+                            workspace_dir=workspace)
+        else:
+            from dbsr_tpu.evaluation.visualize import visualize_synburst
+            out = args.out_dir or os.path.join(workspace, "synburst_vis")
+            visualize_synburst(network_params, root, out,
+                               workspace_dir=workspace,
+                               max_bursts=args.max_bursts or 10)
+    else:
+        root = args.dataset_root or env.burstsr_dir
+        from dbsr_tpu.evaluation import burstsr as ev
+        if args.action == "compute_score":
+            ev.compute_score(network_params, root, workspace_dir=workspace,
+                             with_lpips=not args.no_lpips,
+                             max_bursts=args.max_bursts)
+        elif args.action == "save_results":
+            out = args.out_dir or os.path.join(workspace, "burstsr_results")
+            ev.save_results(network_params, root, out,
+                            workspace_dir=workspace)
+        else:
+            raise SystemExit("visualize is implemented for synburst only")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Training CLI: ``python run_training.py <module> <config>``.
+
+Re-design of reference ``run_training.py:16-55`` without the
+multiprocessing setup (no worker processes exist — synthesis is on-device):
+builds a ``Settings`` object and invokes
+``dbsr_tpu.configs.<module>.<config>.run(settings)``.
+"""
+
+import argparse
+import importlib
+
+
+def run_training(module: str, config: str, **overrides):
+    from dbsr_tpu.environment import Settings
+
+    settings = Settings()
+    settings.module = module
+    settings.script_name = config
+    settings.project_path = f"{module}/{config}"
+    for k, v in overrides.items():
+        if v is not None:
+            setattr(settings, k, v)
+
+    expr = importlib.import_module(f"dbsr_tpu.configs.{module}.{config}")
+    expr.run(settings)
+
+
+def main():
+    p = argparse.ArgumentParser(description="Train a network (TPU-native).")
+    p.add_argument("module", help="config namespace, e.g. dbsr")
+    p.add_argument("config", help="config name, e.g. default_synthetic")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--single_device", action="store_true",
+                   help="disable the device mesh (debugging)")
+    args = p.parse_args()
+    run_training(args.module, args.config, batch_size=args.batch_size,
+                 multi_device=not args.single_device)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,3 +20,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: tiny-model jits dominate test wall time;
+# caching them across runs cuts the suite from tens of minutes to ~1.
+jax.config.update("jax_compilation_cache_dir", "/tmp/dbsr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,116 @@
+"""End-to-end evaluation-slice test: generate a tiny SyntheticBurstVal-
+format dataset, run a checkpointed tiny net through compute_score /
+save_results, verify saved-vs-recomputed score consistency (the 2^14
+quantization protocol)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dbsr_tpu.data.datasets import SyntheticBurstVal, write_synthetic_burst_val
+from dbsr_tpu.data.synthetic import BurstConfig, rgb2rawburst
+from dbsr_tpu.evaluation import synburst
+from dbsr_tpu.evaluation.network_param import NetworkParam
+from dbsr_tpu.models.dbsr import dbsrnet_tiny
+from dbsr_tpu.training.checkpoint import save_checkpoint
+from dbsr_tpu.training.state import TrainState
+
+CFG = BurstConfig(burst_size=3, crop_sz=(32, 32), downsample_factor=2,
+                  border_crop=4, max_translation=3.0, max_rotation=0.5)
+
+
+@pytest.fixture(scope="module")
+def val_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synval"))
+    samples = []
+    for i in range(3):
+        img = jnp.asarray(np.random.RandomState(i).rand(
+            *CFG.pre_crop_sz, 3).astype(np.float32))
+        out = rgb2rawburst(jax.random.key(i), img, CFG)
+        samples.append({"burst": out["burst"], "frame_gt": out["frame_gt"],
+                        "meta": {"gains": 1.0}})
+    write_synthetic_burst_val(root, samples)
+    return root
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ckpt"))
+    net = dbsrnet_tiny(upsample_factor=4)
+    burst = jnp.zeros((1, 3) + CFG.burst_hw + (4,))
+    params = net.init(jax.random.key(0), burst)
+    state = TrainState.create(params, optax.adam(1e-4))
+    path = save_checkpoint(d, "tiny", 1, state, net=net)
+    return path
+
+
+def _dataset(root):
+    return SyntheticBurstVal(root, burst_size=CFG.burst_size, num_bursts=3)
+
+
+def test_val_set_roundtrip(val_root):
+    ds = _dataset(val_root)
+    burst, gt, meta = ds[0]
+    assert burst.shape == (3, 8, 8, 4)
+    assert gt.shape == (32, 32, 3)
+    assert burst.dtype == np.float32
+    assert 0.0 <= burst.min() and burst.max() <= 1.0
+    # written by our writer -> no cv2 channel swap applied
+    assert not ds.cv2_channel_order
+
+
+def test_compute_score_runs(val_root, tiny_ckpt):
+    nets = [NetworkParam(checkpoint_path=tiny_ckpt, display_name="tiny")]
+    scores = synburst.compute_score(
+        nets, val_root, boundary_ignore=4, with_lpips=False,
+        dataset=_dataset(val_root))
+    assert "psnr" in scores and "ssim" in scores
+    assert np.isfinite(scores["psnr"]["tiny"])
+    # random-init net should score poorly but in a sane range
+    assert 0 < scores["psnr"]["tiny"] < 40
+
+
+def test_saved_results_match_recomputed(val_root, tiny_ckpt, tmp_path):
+    """The quantization protocol: scoring saved uint16 predictions equals
+    scoring the live net (reference `compute_score.py:110-111`)."""
+    nets = [NetworkParam(checkpoint_path=tiny_ckpt, display_name="tiny")]
+    out_dir = str(tmp_path / "saved")
+    synburst.save_results(nets, val_root, out_dir,
+                          dataset=_dataset(val_root))
+
+    live = synburst.compute_score(nets, val_root, boundary_ignore=4,
+                                  with_lpips=False,
+                                  dataset=_dataset(val_root))
+    saved_nets = [NetworkParam(
+        saved_results_path=os.path.join(out_dir, "tiny"),
+        display_name="tiny")]
+    saved = synburst.compute_score(saved_nets, val_root, boundary_ignore=4,
+                                   with_lpips=False,
+                                   dataset=_dataset(val_root))
+    assert live["psnr"]["tiny"] == pytest.approx(saved["psnr"]["tiny"],
+                                                 abs=1e-3)
+    assert live["ssim"]["tiny"] == pytest.approx(saved["ssim"]["tiny"],
+                                                 abs=1e-4)
+
+
+def test_burst_size_override(val_root, tiny_ckpt):
+    nets = [NetworkParam(checkpoint_path=tiny_ckpt, burst_sz=2)]
+    scores = synburst.compute_score(nets, val_root, boundary_ignore=4,
+                                    with_lpips=False,
+                                    dataset=_dataset(val_root))
+    (name,) = scores["psnr"].keys()
+    assert name.endswith("_bsz02")
+    assert np.isfinite(scores["psnr"][name])
+
+
+def test_report_formatting():
+    from dbsr_tpu.evaluation.display import generate_formatted_report
+    rep = generate_formatted_report(
+        ["netA", "netB"],
+        {"psnr": {"netA": 39.1, "netB": 38.2},
+         "ssim": {"netA": 0.95, "netB": 0.94}})
+    assert "netA" in rep and "psnr" in rep and "39.1" in rep
