@@ -63,7 +63,7 @@ class ConvBlock(nn.Module):
     use_bias: bool = True
     batch_norm: bool = False
     activation: str = "relu"
-    dtype: Any = jnp.float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -92,7 +92,7 @@ class ResBlock(nn.Module):
     features: int
     batch_norm: bool = False
     activation: str = "relu"
-    dtype: Any = jnp.float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -147,7 +147,7 @@ class PixShuffleUpsampler(nn.Module):
     icnrinit: bool = False
     gauss_blur_sd: Optional[float] = None
     gauss_ksz: int = 3
-    dtype: Any = jnp.float32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -214,6 +214,8 @@ class TorchConvTranspose(nn.Module):
                 key, shape, self.dtype, -bound, bound),
             (self.features,))
         pad = k - 1 - p
+        kernel = kernel.astype(x.dtype)
+        bias = bias.astype(x.dtype)
         out = jax.lax.conv_general_dilated(
             x, jnp.flip(kernel, axis=(0, 1)),
             window_strides=(1, 1),

@@ -61,16 +61,17 @@ def correlation_xla(first: jax.Array, second: jax.Array) -> jax.Array:
 
 
 def _corr_kernel(first_ref, second_ref, out_ref):
-    """Pallas body: one batch item per grid step, all 81 channels in one pass."""
-    f = first_ref[0]          # [H, W, C] in VMEM
-    s = second_ref[0]         # [H+2p, W+2p, C] in VMEM
+    """Pallas body: one batch item per grid step, all 81 channels in one
+    pass. Accumulates in f32 regardless of input dtype (bf16-safe)."""
+    f = first_ref[0].astype(jnp.float32)   # [H, W, C] in VMEM
+    s = second_ref[0].astype(jnp.float32)  # [H+2p, W+2p, C] in VMEM
     H, W, C = f.shape
     inv_c = 1.0 / C
     outs = []
     for dy, dx in _offsets():
         sl = s[dy + MAX_DISP:dy + MAX_DISP + H, dx + MAX_DISP:dx + MAX_DISP + W, :]
         outs.append(jnp.sum(f * sl, axis=-1) * inv_c)
-    out_ref[0] = jnp.stack(outs, axis=-1)
+    out_ref[0] = jnp.stack(outs, axis=-1).astype(out_ref.dtype)
 
 
 def _correlation_pallas_fwd_impl(first: jax.Array, second: jax.Array,

@@ -153,16 +153,18 @@ class Trainer:
             (0 if loader.training else 1))
 
         from dbsr_tpu.data.pipeline import DevicePrefetcher
+        from dbsr_tpu.training.profiling import maybe_trace
         prefetch = DevicePrefetcher(loader.batcher.next_batch, n,
                                     self._device_put)
         t0 = time.perf_counter()
         samples_done = 0
         for i, crops in enumerate(prefetch):
             k = jax.random.fold_in(key, i)
-            if loader.training:
-                state, step_stats = self._train_step(state, k, crops)
-            else:
-                step_stats = self._eval_step(state, k, crops)
+            with maybe_trace(i):
+                if loader.training:
+                    state, step_stats = self._train_step(state, k, crops)
+                else:
+                    step_stats = self._eval_step(state, k, crops)
             bs = jax.tree_util.tree_leaves(crops)[0].shape[0]
             samples_done += bs
             stats.update_from(
