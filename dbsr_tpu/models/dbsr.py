@@ -23,7 +23,7 @@ from flax import linen as nn
 from dbsr_tpu.models.layers import ConvBlock, PixShuffleUpsampler, ResBlock
 from dbsr_tpu.models.pwcnet import PWCNet
 from dbsr_tpu.ops.camera import demosaic_naive
-from dbsr_tpu.ops.interp import warp
+from dbsr_tpu.ops.warp_pallas import warp_auto as warp
 
 
 def _flatten_frames(x):
