@@ -137,7 +137,8 @@ class CropBatcher:
 
     def __init__(self, sampler, batch_size: int, crop_sz: Tuple[int, int],
                  scale_range=None, ar_range=None, random_flip: bool = True,
-                 random_crop: bool = True, seed: int = 0):
+                 random_crop: bool = True, brightness_jitter: float = 0.0,
+                 seed: int = 0):
         self.sampler = sampler
         self.batch_size = batch_size
         self.crop_sz = crop_sz
@@ -145,6 +146,9 @@ class CropBatcher:
         self.ar_range = ar_range
         self.random_flip = random_flip
         self.random_crop = random_crop
+        # ToTensorAndJitter's brightness factor (reference
+        # data/transforms.py; the shipped configs use 0.0)
+        self.brightness_jitter = brightness_jitter
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -157,6 +161,10 @@ class CropBatcher:
             frame = np.asarray(frame)
             if frame.dtype == np.uint8:
                 frame = frame.astype(np.float32) / 255.0
+            if self.brightness_jitter > 0.0:
+                factor = np.exp(self.rng.uniform(-self.brightness_jitter,
+                                                 self.brightness_jitter))
+                frame = np.clip(frame * factor, 0.0, 1.0)
             if self.random_flip and self.rng.random() < 0.5:
                 frame = frame[:, ::-1]
             if self.random_crop:

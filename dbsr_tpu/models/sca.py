@@ -67,6 +67,22 @@ def match_colors(im_ref: jax.Array, im_q: jax.Array, im_test: jax.Array,
     return test_conv, valid
 
 
+def make_aligned_l2(alignment_apply: Callable, sr_factor: int = 4,
+                    boundary_ignore: int = None) -> Callable:
+    """AlignedL2 (reference ``image_quality_v2.py:166-191``): SCA the
+    prediction to the GT, then validity-masked MSE with optional boundary
+    crop. Returns ``fn(pred, gt, burst) -> scalar``."""
+    sca = make_sca(alignment_apply, sr_factor)
+
+    def aligned_l2(pred, gt, burst):
+        from dbsr_tpu.ops.metrics import pixel_error
+        pred_m, valid = sca(pred, gt, burst)
+        return pixel_error(pred_m, gt, "l2", boundary_ignore,
+                           valid.astype(jnp.float32))
+
+    return aligned_l2
+
+
 def make_sca(alignment_apply: Callable, sr_factor: int = 4,
              gauss_sd: float = 1.5) -> Callable:
     """Build the SCA function ``(pred, gt, burst) -> (pred_warped_m, valid)``.
