@@ -61,6 +61,11 @@ def run(settings):
         LoaderSpec("val", val_batcher, training=False, epoch_interval=5),
     ]
 
+    import jax.numpy as jnp
+    compute_dtype = getattr(settings, "compute_dtype", None)
+    if compute_dtype == "bfloat16":
+        compute_dtype = jnp.bfloat16
+
     net = dbsrnet_cvpr2021(
         enc_init_dim=64, enc_num_res_blocks=9, enc_out_dim=512,
         dec_init_conv_dim=64, dec_num_pre_res_blocks=5,
@@ -68,7 +73,8 @@ def run(settings):
         upsample_factor=cfg.downsample_factor * 2,
         offset_feat_dim=64, weight_pred_proj_dim=64,
         num_weight_predictor_res=3, gauss_blur_sd=1.0, icnrinit=True,
-        train_alignment=getattr(settings, "train_alignment", True))
+        train_alignment=getattr(settings, "train_alignment", True),
+        dtype=compute_dtype)
 
     actor = make_synthetic_actor(net, loss_weight=1.0, boundary_ignore=40)
     tx = make_optimizer(base_lr=1e-4, step_size_epochs=40, gamma=0.2,

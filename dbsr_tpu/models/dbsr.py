@@ -38,13 +38,18 @@ class ResEncoder(nn.Module):
     num_res_blocks: int = 9
     out_dim: int = 512
     activation: str = "relu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBlock(self.init_dim, 3, activation=self.activation)(x)
+        d = self.dtype
+        x = ConvBlock(self.init_dim, 3, activation=self.activation,
+                      dtype=d)(x)
         for _ in range(self.num_res_blocks):
-            x = ResBlock(self.init_dim, activation=self.activation)(x)
-        return ConvBlock(self.out_dim, 3, activation=self.activation)(x)
+            x = ResBlock(self.init_dim, activation=self.activation,
+                         dtype=d)(x)
+        return ConvBlock(self.out_dim, 3, activation=self.activation,
+                         dtype=d)(x)
 
 
 class AlignedEncoder(nn.Module):
@@ -63,6 +68,7 @@ class AlignedEncoder(nn.Module):
     out_dim: int = 512
     activation: str = "relu"
     train_alignment: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, burst):
@@ -74,13 +80,13 @@ class AlignedEncoder(nn.Module):
         ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
         oth = rgb[:, 1:]
 
-        flow = PWCNet(name="alignment_net")(
+        flow = PWCNet(name="alignment_net", dtype=self.dtype)(
             _flatten_frames(oth), _flatten_frames(ref))
         if not self.train_alignment:
             flow = jax.lax.stop_gradient(flow)
 
         feat = ResEncoder(self.init_dim, self.num_res_blocks, self.out_dim,
-                          self.activation, name="embed")(
+                          self.activation, dtype=self.dtype, name="embed")(
             _flatten_frames(burst))
         feat = feat.reshape((B, N) + feat.shape[-3:])
 
@@ -114,6 +120,7 @@ class WeightedSumMerge(nn.Module):
     softmax: bool = True
     use_base_frame: bool = True
     activation: str = "relu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs):
@@ -127,6 +134,7 @@ class WeightedSumMerge(nn.Module):
         N = all_feat.shape[1]
 
         proj = ConvBlock(self.project_dim, 1, activation=self.activation,
+                         dtype=self.dtype,
                          name="feat_project")(_flatten_frames(all_feat))
         proj = proj.reshape((B, N) + proj.shape[-3:])
 
@@ -147,21 +155,22 @@ class WeightedSumMerge(nn.Module):
             if self.offset_modulo is not None:
                 offs = offs % self.offset_modulo
             x = ConvBlock(self.offset_feat_dim, 3,
-                          activation=self.activation, name="offset_conv")(offs)
+                          activation=self.activation, dtype=self.dtype,
+                          name="offset_conv")(offs)
             for i in range(self.num_offset_feat_extractor_res):
                 x = ResBlock(self.offset_feat_dim,
-                             activation=self.activation,
+                             activation=self.activation, dtype=self.dtype,
                              name=f"offset_res{i}")(x)
             pred_in.append(x)
 
         x = jnp.concatenate(pred_in, axis=-1)
         x = ConvBlock(2 * self.project_dim, 3, activation=self.activation,
-                      name="weight_conv")(x)
+                      dtype=self.dtype, name="weight_conv")(x)
         for i in range(self.num_weight_predictor_res):
             x = ResBlock(2 * self.project_dim, activation=self.activation,
-                         name=f"weight_res{i}")(x)
+                         dtype=self.dtype, name=f"weight_res{i}")(x)
         logits = ConvBlock(self.input_dim, 3, activation="none",
-                           name="weight_out")(x)
+                           dtype=self.dtype, name="weight_out")(x)
         logits = logits.reshape((B, N) + logits.shape[-3:])
 
         if self.softmax:
@@ -187,19 +196,25 @@ class PixShuffleDecoder(nn.Module):
     gauss_blur_sd: Optional[float] = 1.0
     gauss_ksz: int = 3
     activation: str = "relu"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, fused):
-        x = ConvBlock(self.init_conv_dim, 3, activation=self.activation)(fused)
+        d = self.dtype
+        x = ConvBlock(self.init_conv_dim, 3, activation=self.activation,
+                      dtype=d)(fused)
         for _ in range(self.num_pre_res_blocks):
-            x = ResBlock(self.init_conv_dim, activation=self.activation)(x)
+            x = ResBlock(self.init_conv_dim, activation=self.activation,
+                         dtype=d)(x)
         x = PixShuffleUpsampler(
             self.post_conv_dim, self.upsample_factor,
             activation=self.activation, icnrinit=self.icnrinit,
-            gauss_blur_sd=self.gauss_blur_sd, gauss_ksz=self.gauss_ksz)(x)
+            gauss_blur_sd=self.gauss_blur_sd, gauss_ksz=self.gauss_ksz,
+            dtype=d)(x)
         for _ in range(self.num_post_res_blocks):
-            x = ResBlock(self.post_conv_dim, activation=self.activation)(x)
-        return ConvBlock(3, 1, activation="none")(x)
+            x = ResBlock(self.post_conv_dim, activation=self.activation,
+                         dtype=d)(x)
+        return ConvBlock(3, 1, activation="none", dtype=d)(x)
 
 
 class DBSRNet(nn.Module):
@@ -226,26 +241,30 @@ class DBSRNet(nn.Module):
     gauss_ksz: int = 3
     activation: str = "relu"
     train_alignment: bool = False
+    dtype: Any = None  # compute dtype; None = promote (f32 params -> f32)
 
     @nn.compact
     def __call__(self, burst):
         enc = AlignedEncoder(
             self.enc_init_dim, self.enc_num_res_blocks, self.enc_out_dim,
-            self.activation, self.train_alignment, name="encoder")(burst)
+            self.activation, self.train_alignment, self.dtype,
+            name="encoder")(burst)
         merged = WeightedSumMerge(
             self.enc_out_dim, self.weight_pred_proj_dim,
             self.offset_feat_dim, self.num_offset_feat_extractor_res,
             self.num_weight_predictor_res, self.use_offset,
             self.offset_modulo, self.softmax, self.use_base_frame,
-            self.activation, name="merging")(enc)
+            self.activation, self.dtype, name="merging")(enc)
         pred = PixShuffleDecoder(
             self.dec_init_conv_dim, self.dec_num_pre_res_blocks,
             self.dec_post_conv_dim, self.dec_num_post_res_blocks,
             self.upsample_factor, self.icnrinit, self.gauss_blur_sd,
-            self.gauss_ksz, self.activation, name="decoder")(
+            self.gauss_ksz, self.activation, self.dtype, name="decoder")(
             merged["fused_enc"])
-        return pred, {"offsets": enc["offsets"],
-                      "fusion_weights": merged["fusion_weights"]}
+        # predictions in f32 for losses/metrics regardless of compute dtype
+        return pred.astype(jnp.float32), {
+            "offsets": enc["offsets"],
+            "fusion_weights": merged["fusion_weights"]}
 
 
 def dbsrnet_cvpr2021(**overrides) -> DBSRNet:

@@ -41,21 +41,25 @@ def _leaky(x):
     return nn.leaky_relu(x, negative_slope=0.1)
 
 
-def _conv(features, stride=1, dilation=1, name=None):
+def _conv(features, stride=1, dilation=1, name=None, dtype=None):
     return ConvBlock(features, kernel_size=3, stride=stride,
-                     dilation=dilation, activation="none", name=name)
+                     dilation=dilation, activation="none", name=name,
+                     dtype=dtype)
 
 
 class Extractor(nn.Module):
     """6-level strided conv pyramid (reference ``pwcnet.py:45-111``)."""
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         feats = []
         for lvl, ch in enumerate(_PYRAMID_CH):
-            x = _leaky(_conv(ch, stride=2, name=f"lvl{lvl + 1}_conv0")(x))
-            x = _leaky(_conv(ch, name=f"lvl{lvl + 1}_conv1")(x))
-            x = _leaky(_conv(ch, name=f"lvl{lvl + 1}_conv2")(x))
+            d = self.dtype
+            x = _leaky(_conv(ch, stride=2, name=f"lvl{lvl + 1}_conv0",
+                             dtype=d)(x))
+            x = _leaky(_conv(ch, name=f"lvl{lvl + 1}_conv1", dtype=d)(x))
+            x = _leaky(_conv(ch, name=f"lvl{lvl + 1}_conv2", dtype=d)(x))
             feats.append(x)
         return feats
 
@@ -68,6 +72,7 @@ class Decoder(nn.Module):
     flow.
     """
     level: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feat_first, feat_second, prev):
@@ -87,21 +92,23 @@ class Decoder(nn.Module):
                                    axis=-1)
 
         for i, ch in enumerate((128, 128, 96, 64, 32)):
-            out = _leaky(_conv(ch, name=f"dense{i}")(feat))
+            out = _leaky(_conv(ch, name=f"dense{i}", dtype=self.dtype)(feat))
             feat = jnp.concatenate([out, feat], axis=-1)
-        flow = _conv(2, name="flow_head")(feat)
+        flow = _conv(2, name="flow_head", dtype=self.dtype)(feat)
         return {"flow": flow, "feat": feat}
 
 
 class Refiner(nn.Module):
     """Dilated-conv context network (reference ``pwcnet.py:186-207``)."""
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         for i, (ch, dil) in enumerate(
                 ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))):
-            x = _leaky(_conv(ch, dilation=dil, name=f"ctx{i}")(x))
-        return _conv(2, name="ctx_flow")(x)
+            x = _leaky(_conv(ch, dilation=dil, name=f"ctx{i}",
+                             dtype=self.dtype)(x))
+        return _conv(2, name="ctx_flow", dtype=self.dtype)(x)
 
 
 class PWCFlowNet(nn.Module):
@@ -109,20 +116,22 @@ class PWCFlowNet(nn.Module):
     (reference ``pwcnet.py:221-231``). Inputs are two ``[B, H, W, 3]``
     images with H, W multiples of 64; output is level-2 flow (1/4 res,
     unscaled)."""
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, im_first, im_second):
-        extractor = Extractor(name="extractor")
+        d = self.dtype
+        extractor = Extractor(name="extractor", dtype=d)
         f1 = extractor(im_first)
         f2 = extractor(im_second)
 
-        est = Decoder(6, name="dec6")(f1[5], f2[5], None)
-        est = Decoder(5, name="dec5")(f1[4], f2[4], est)
-        est = Decoder(4, name="dec4")(f1[3], f2[3], est)
-        est = Decoder(3, name="dec3")(f1[2], f2[2], est)
-        est = Decoder(2, name="dec2")(f1[1], f2[1], est)
+        est = Decoder(6, name="dec6", dtype=d)(f1[5], f2[5], None)
+        est = Decoder(5, name="dec5", dtype=d)(f1[4], f2[4], est)
+        est = Decoder(4, name="dec4", dtype=d)(f1[3], f2[3], est)
+        est = Decoder(3, name="dec3", dtype=d)(f1[2], f2[2], est)
+        est = Decoder(2, name="dec2", dtype=d)(f1[1], f2[1], est)
 
-        return est["flow"] + Refiner(name="refiner")(est["feat"])
+        return est["flow"] + Refiner(name="refiner", dtype=d)(est["feat"])
 
 
 class PWCNet(nn.Module):
@@ -134,6 +143,7 @@ class PWCNet(nn.Module):
     multiple of 64, the level-2 flow is scaled x20, bilinearly upsampled to
     the input resolution, and per-axis rescaled by (input/preprocessed).
     """
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, source_img, target_img):
@@ -151,7 +161,7 @@ class PWCNet(nn.Module):
         else:
             src_r, tgt_r = src, tgt
 
-        flow = PWCFlowNet(name="net")(tgt_r, src_r)
+        flow = PWCFlowNet(name="net", dtype=self.dtype)(tgt_r, src_r)
         flow = 20.0 * resize_bilinear(flow, (H, W))
         scale = jnp.array([W / Wp, H / Hp], flow.dtype)
         flow = flow * scale

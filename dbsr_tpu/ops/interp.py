@@ -217,8 +217,6 @@ def warp_affine(im: jax.Array, tmat: jax.Array,
     ones = jnp.ones(g.shape[:-1] + (1,), g.dtype)
     homo = jnp.concatenate([g, ones], axis=-1)  # [h, w, 3]
     coords = jnp.einsum("...ij,hwj->...hwi", inv, homo)  # [..., h, w, 2]
-    if coords.ndim == im.ndim - 1:
-        pass
     return sample_bilinear(im, coords, "zeros")
 
 

@@ -43,6 +43,10 @@ def network_spec(net) -> Dict[str, Any]:
         if f.name in ("parent", "name"):
             continue
         v = getattr(net, f.name)
+        if v is not None and not isinstance(
+                v, (bool, int, float, str, list, tuple, dict)):
+            # dtype-like fields (jnp.bfloat16 etc.) -> tagged string
+            v = {"__dtype__": np.dtype(v).name}
         kwargs[f.name] = v
     return {
         "module": type(net).__module__,
@@ -58,9 +62,16 @@ def build_network(spec: Dict[str, Any]):
     the caller merging into ``spec['kwargs']`` first."""
     import importlib
 
+    import jax.numpy as jnp
+
     mod = importlib.import_module(spec["module"])
     cls = getattr(mod, spec["cls"])
-    return cls(**spec["kwargs"])
+    kwargs = {}
+    for k, v in spec["kwargs"].items():
+        if isinstance(v, dict) and "__dtype__" in v:
+            v = jnp.dtype(v["__dtype__"])
+        kwargs[k] = v
+    return cls(**kwargs)
 
 
 def save_checkpoint(directory: str, net_name: str, epoch: int, state,

@@ -159,3 +159,18 @@ def test_val_loader_epoch_interval(tmp_path):
                       net_name="tiny_v", print_interval=100)
     trainer.train(2, load_latest=False, fail_safe=False)
     assert trainer.stats["val"]["Stat/psnr"].count > 0
+
+
+def test_checkpoint_roundtrip_with_dtype(tmp_path):
+    """dtype fields (jnp.bfloat16) survive the JSON network spec."""
+    net = dbsrnet_tiny(upsample_factor=4, dtype=jnp.bfloat16)
+    burst = jnp.zeros((1, 3) + TINY_CFG.burst_hw + (4,))
+    params = net.init(jax.random.key(0), burst)
+    state = TrainState.create(params, optax.adam(1e-4))
+    path = ckpt.save_checkpoint(str(tmp_path), "tiny_bf16", 1, state,
+                                net=net)
+    net2, params2, _ = ckpt.load_network(path)
+    assert net2.dtype == jnp.bfloat16
+    p1, _ = net.apply(params, burst)
+    p2, _ = net2.apply(params2, burst)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
