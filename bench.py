@@ -39,7 +39,7 @@ ITERS = 64
 
 
 def main():
-    net = dbsrnet_cvpr2021()
+    net = dbsrnet_cvpr2021(fused_s2d_decoder=True)
     burst = jax.random.uniform(
         jax.random.key(0), (BATCH, BURST_N, 48, 48, 4), jnp.float32)
 

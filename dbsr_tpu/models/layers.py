@@ -64,9 +64,17 @@ class ConvBlock(nn.Module):
     batch_norm: bool = False
     activation: str = "relu"
     dtype: Any = None
+    s2d: bool = False  # apply in space-to-depth-2 space (same params)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.s2d:
+            assert self.stride == 1 and self.dilation == 1 \
+                and not self.batch_norm
+            x = S2DConv(self.features, self.kernel_size, self.use_bias,
+                        self.dtype, name="Conv_0")(x)
+            act = get_activation(self.activation)
+            return act(x) if act is not None else x
         fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
         x = nn.Conv(
             self.features,
@@ -93,13 +101,16 @@ class ResBlock(nn.Module):
     batch_norm: bool = False
     activation: str = "relu"
     dtype: Any = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = ConvBlock(self.features, 3, batch_norm=self.batch_norm,
-                        activation=self.activation, dtype=self.dtype)(x, train)
+                        activation=self.activation, dtype=self.dtype,
+                        s2d=self.s2d)(x, train)
         out = ConvBlock(self.features, 3, batch_norm=self.batch_norm,
-                        activation="none", dtype=self.dtype)(out, train)
+                        activation="none", dtype=self.dtype,
+                        s2d=self.s2d)(out, train)
         act = get_activation(self.activation)
         return act(out + x)
 
@@ -148,6 +159,7 @@ class PixShuffleUpsampler(nn.Module):
     gauss_blur_sd: Optional[float] = None
     gauss_ksz: int = 3
     dtype: Any = None
+    s2d_output: bool = False  # emit s2d rep (4x channels at half res)
 
     @nn.compact
     def __call__(self, x):
@@ -163,22 +175,42 @@ class PixShuffleUpsampler(nn.Module):
         act = get_activation(self.activation)
         if act is not None:
             x = act(x)
-        x = pixel_shuffle(x, r)
+        if self.s2d_output:
+            assert r % 2 == 0
+            # fold space-to-depth into the shuffle via channel permutation
+            x = pixel_shuffle(x[..., s2d_shuffle_permutation(self.features,
+                                                             r)], r // 2)
+        else:
+            x = pixel_shuffle(x, r)
 
         if self.gauss_blur_sd is not None:
             from dbsr_tpu.ops.filtering import gauss_2d
             k = gauss_2d(self.gauss_ksz, self.gauss_blur_sd, (0.0, 0.0),
                          density=True)[0]
             k = (k / k.sum()).astype(x.dtype)
-            C = x.shape[-1]
-            kern = jnp.broadcast_to(k[:, :, None, None],
-                                    (self.gauss_ksz, self.gauss_ksz, 1, C))
             lead = x.shape[:-3]
             xx = x.reshape((-1,) + x.shape[-3:])
-            xx = jax.lax.conv_general_dilated(
-                xx, kern, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=C)
+            if self.s2d_output:
+                # depthwise fine blur -> block-diagonal coarse conv. A
+                # grouped conv with 4-channel groups is pathologically slow
+                # on TPU (+14 ms measured); a dense 128-ch conv with a
+                # block-diagonal kernel costs ~1 ms despite 32x the FLOPs.
+                k1 = s2d_conv_kernel(k[:, :, None, None])  # [3,3,4,4]
+                eye = jnp.eye(self.features, dtype=k1.dtype)
+                kern = jnp.einsum("hwqp,cd->hwcqdp", k1, eye).reshape(
+                    k1.shape[0], k1.shape[1], 4 * self.features,
+                    4 * self.features).astype(x.dtype)
+                xx = jax.lax.conv_general_dilated(
+                    xx, kern, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            else:
+                C = x.shape[-1]
+                kern = jnp.broadcast_to(k[:, :, None, None],
+                                        (self.gauss_ksz, self.gauss_ksz, 1, C))
+                xx = jax.lax.conv_general_dilated(
+                    xx, kern, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=C)
             x = xx.reshape(lead + xx.shape[-3:])
         return x
 
@@ -223,3 +255,95 @@ class TorchConvTranspose(nn.Module):
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return out + bias
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth conv transform: run small-channel convs at coarse
+# resolution with 4x channels, where the MXU is efficient.
+#
+# A 3x3 (or 1x1) stride-1 SAME conv at fine resolution is exactly
+# equivalent to a 3x3 SAME conv on the space-to-depth-by-2 representation
+# with a structured kernel: measured on v5e, the DBSR decoder's post-
+# shuffle stage (384^2 x 32ch) runs 1.5x faster this way (9.1 -> 6.2 ms).
+# Channel layout is c-major: s2d channel index = c*4 + (qy*2 + qx).
+# ---------------------------------------------------------------------------
+
+def s2d_conv_kernel(k: jax.Array) -> jax.Array:
+    """Transform a fine-resolution conv kernel ``[kh, kw, C, O]`` (kh=kw in
+    {1, 3}) into the equivalent coarse kernel ``[3, 3, 4C, 4O]`` (or
+    ``[1, 1, 4C, 4O]`` for 1x1) over the space-to-depth-2 representation."""
+    kh, kw, C, O = k.shape
+    assert kh == kw and kh in (1, 3)
+    ksz = 3 if kh == 3 else 1
+    span = 1 if kh == 3 else 0
+    K = jnp.zeros((ksz, ksz, 4 * C, 4 * O), k.dtype)
+    for py in range(2):
+        for px in range(2):
+            for qy in range(2):
+                for qx in range(2):
+                    for dy in range(-span, span + 1):
+                        for dx in range(-span, span + 1):
+                            du = 2 * dy + qy - py
+                            dv = 2 * dx + qx - px
+                            if -span <= du <= span and -span <= dv <= span:
+                                qi = qy * 2 + qx
+                                pi = py * 2 + px
+                                K = K.at[dy + span, dx + span,
+                                         qi::4, pi::4].set(
+                                    k[du + span, dv + span])
+    return K
+
+
+class S2DConv(nn.Module):
+    """Conv with fine-resolution params applied in space-to-depth space.
+
+    Parameters are IDENTICAL in name and shape to the plain ``nn.Conv``
+    inside ``ConvBlock`` (instantiate with ``name='Conv_0'``), so standard
+    checkpoints apply unchanged; only the compute path differs. Input and
+    output are s2d tensors (``4*features`` channels, c-major phases).
+    """
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_base = x.shape[-1] // 4
+        shape = (self.kernel_size, self.kernel_size, in_base, self.features)
+        fan_in = self.kernel_size * self.kernel_size * in_base
+        kernel = self.param("kernel", torch_conv_kernel_init, shape)
+        K = s2d_conv_kernel(kernel)
+        # match flax nn.Conv dtype semantics: explicit dtype wins, else
+        # promote input/params to a common type
+        dt = self.dtype or jnp.promote_types(x.dtype, K.dtype)
+        K = K.astype(dt)
+        x = x.astype(dt)
+        out = jax.lax.conv_general_dilated(
+            x, K, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", make_torch_bias_init(fan_in),
+                              (self.features,))
+            out = out + jnp.repeat(bias, 4).astype(out.dtype)
+        return out
+
+
+def s2d_shuffle_permutation(c_out: int, r: int) -> jnp.ndarray:
+    """Channel permutation folding s2d into pixel-shuffle.
+
+    ``pixel_shuffle(x[..., perm], r // 2)`` yields exactly
+    ``space_to_depth(pixel_shuffle(x, r), 2)`` in c-major phase layout:
+    position ``(c*4 + qy*2 + qx) * (r/2)^2 + di*(r/2) + dj`` takes the old
+    channel ``c*r^2 + (2di+qy)*r + (2dj+qx)``.
+    """
+    rc = r // 2
+    perm = []
+    for c in range(c_out):
+        for qy in range(2):
+            for qx in range(2):
+                for di in range(rc):
+                    for dj in range(rc):
+                        perm.append(c * r * r + (2 * di + qy) * r
+                                    + (2 * dj + qx))
+    return jnp.asarray(perm, jnp.int32)

@@ -106,10 +106,160 @@ def _warp_pallas_impl(feat: jax.Array, flow: jax.Array,
     return out.reshape(B, H, W, C)
 
 
+def _tap_weights(fl, px, py, H, W):
+    """Shared tap geometry: returns per-tap (idx, w, dwdx, dwdy, valid).
+
+    ``fl`` [T, 2] f32 flow, ``px``/``py`` [T, 1] f32 pixel coords.
+    """
+    x = px + fl[:, 0:1]
+    y = py + fl[:, 1:2]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    taps = []
+    for dy, dx, w, dwdx, dwdy in (
+        (0, 0, (1 - wy) * (1 - wx), -(1 - wy), -(1 - wx)),
+        (0, 1, (1 - wy) * wx, (1 - wy), -wx),
+        (1, 0, wy * (1 - wx), -wy, (1 - wx)),
+        (1, 1, wy * wx, wy, wx),
+    ):
+        yi = y0 + dy
+        xi = x0 + dx
+        valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        idx = yc * W + xc
+        taps.append((idx, jnp.where(valid, w, 0.0),
+                     jnp.where(valid, dwdx, 0.0),
+                     jnp.where(valid, dwdy, 0.0)))
+    return taps
+
+
+def _dfeat_kernel(flow_ref, g_ref, out_ref, *, H, W, C, T):
+    """d_feat tile = W^T_tile @ g: for a tile of INPUT pixels q, gather the
+    transposed operator rows from all P output pixels' taps."""
+    P = H * W
+    fl = flow_ref[0].astype(jnp.float32)  # [P, 2] — full flow
+    g = g_ref[0].reshape(P, C)
+
+    t = pl.program_id(1)
+    qrange = t * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)  # [T,1]
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    py = (pix // W).astype(jnp.float32)
+    px = (pix % W).astype(jnp.float32)
+    # taps of every output pixel p (row vectors [1, P])
+    x = px + fl[:, 0].reshape(1, P)
+    y = py + fl[:, 1].reshape(1, P)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    wt = jnp.zeros((T, P), jnp.float32)
+    for dy, dx, w in (
+        (0, 0, (1 - wy) * (1 - wx)),
+        (0, 1, (1 - wy) * wx),
+        (1, 0, wy * (1 - wx)),
+        (1, 1, wy * wx),
+    ):
+        yi = y0 + dy
+        xi = x0 + dx
+        valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        idx = yc * W + xc  # [1, P]
+        tap_w = jnp.where(valid, w, 0.0)  # [1, P]
+        wt = wt + jnp.where(idx == qrange, tap_w, 0.0)
+
+    out = jax.lax.dot_general(
+        wt.astype(g.dtype), g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _dflow_kernel(feat_ref, flow_ref, g_ref, out_ref, *, H, W, C, T):
+    """d_flow tile: build derivative operators Dx/Dy for a tile of OUTPUT
+    pixels, matmul against feat, then row-dot with g."""
+    P = H * W
+    feat = feat_ref[0].reshape(P, C)
+    fl = flow_ref[0].astype(jnp.float32)  # [T, 2]
+    g = g_ref[0]  # [T, C]
+
+    t = pl.program_id(1)
+    pix = t * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    py = (pix // W).astype(jnp.float32)
+    px = (pix % W).astype(jnp.float32)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, P), 1)
+    dxmat = jnp.zeros((T, P), jnp.float32)
+    dymat = jnp.zeros((T, P), jnp.float32)
+    for idx, w, dwdx, dwdy in _tap_weights(fl, px, py, H, W):
+        hit = cols == idx
+        dxmat = dxmat + jnp.where(hit, dwdx, 0.0)
+        dymat = dymat + jnp.where(hit, dwdy, 0.0)
+
+    fx = jax.lax.dot_general(dxmat.astype(feat.dtype), feat,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    fy = jax.lax.dot_general(dymat.astype(feat.dtype), feat,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    gf = g.astype(jnp.float32)
+    dfx = (fx * gf).sum(axis=1, keepdims=True)
+    dfy = (fy * gf).sum(axis=1, keepdims=True)
+    out_ref[0] = jnp.concatenate([dfx, dfy], axis=1).astype(out_ref.dtype)
+
+
+def _warp_bwd_pallas(feat, flow, g, interpret=False):
+    B, H, W, C = feat.shape
+    P = H * W
+    T = _TILE if P % _TILE == 0 else P
+    flow_flat = flow.reshape(B, P, 2)
+    g_flat = g.reshape(B, P, C)
+
+    dfeat = pl.pallas_call(
+        functools.partial(_dfeat_kernel, H=H, W=W, C=C, T=T),
+        grid=(B, P // T),
+        in_specs=[
+            pl.BlockSpec((1, P, 2), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, C), feat.dtype),
+        interpret=interpret,
+    )(flow_flat, g_flat).reshape(B, H, W, C)
+
+    dflow = pl.pallas_call(
+        functools.partial(_dflow_kernel, H=H, W=W, C=C, T=T),
+        grid=(B, P // T),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, 2), flow.dtype),
+        interpret=interpret,
+    )(feat, flow_flat, g_flat).reshape(B, H, W, 2)
+
+    return dfeat, dflow
+
+
 @jax.custom_vjp
 def warp_pallas(feat: jax.Array, flow: jax.Array) -> jax.Array:
     """MXU-formulated bilinear warp (zeros padding), semantics identical to
-    ``interp.warp(feat, flow)``."""
+    ``interp.warp(feat, flow)``. Forward AND backward are Pallas kernels
+    (the autodiff backward of a gather is a scatter-add, which is far
+    slower on TPU than these transposed/derivative one-hot matmuls)."""
     return _warp_pallas_impl(feat, flow)
 
 
@@ -119,8 +269,7 @@ def _fwd(feat, flow):
 
 def _bwd(res, g):
     feat, flow = res
-    _, vjp = jax.vjp(interp.warp, feat, flow)
-    return vjp(g)
+    return _warp_bwd_pallas(feat, flow, g)
 
 
 warp_pallas.defvjp(_fwd, _bwd)

@@ -126,3 +126,17 @@ def test_dbsr_train_alignment_grads_flow():
         for path, leaf in jax.tree_util.tree_leaves_with_path(g)
         if "alignment_net" in jax.tree_util.keystr(path))
     assert align_norm > 0.0
+
+
+def test_fused_s2d_decoder_exactness():
+    """The space-to-depth decoder path produces identical outputs from the
+    same parameters (it is a weight-space transform, not a different
+    architecture)."""
+    burst = jnp.asarray(
+        np.random.RandomState(0).rand(1, 3, 16, 16, 4).astype(np.float32))
+    net_a = dbsrnet_tiny()
+    params = net_a.init(jax.random.key(0), burst)
+    net_b = dbsrnet_tiny(fused_s2d_decoder=True)
+    pa, _ = net_a.apply(params, burst)
+    pb, _ = net_b.apply(params, burst)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-6)

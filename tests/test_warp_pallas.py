@@ -33,19 +33,41 @@ def test_interpret_out_of_range_zeros():
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
-def test_grad_matches_gather_warp_grad():
+def test_pallas_backward_matches_autodiff():
+    """The Pallas backward kernels (transposed / derivative one-hot
+    matmuls) must equal the autodiff VJP of the gather warp exactly
+    (including border clipping and zero-masking)."""
     rng = np.random.RandomState(2)
-    feat = jnp.asarray(rng.rand(1, 4, 4, 8).astype(np.float32))
-    flow = jnp.asarray((rng.rand(1, 4, 4, 2) - 0.5).astype(np.float32))
+    feat = jnp.asarray(rng.rand(2, 8, 8, 16).astype(np.float32))
+    flow = jnp.asarray((rng.rand(2, 8, 8, 2) * 6 - 3).astype(np.float32))
+    g = jnp.asarray(rng.rand(2, 8, 8, 16).astype(np.float32))
 
-    # custom_vjp backward delegates to interp.warp's vjp — check equality
-    g = jnp.asarray(rng.rand(1, 4, 4, 8).astype(np.float32))
     _, vjp_ref = jax.vjp(interp.warp, feat, flow)
-    from dbsr_tpu.ops.warp_pallas import _bwd
-    df, dfl = _bwd((feat, flow), g)
     df_ref, dfl_ref = vjp_ref(g)
-    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref))
-    np.testing.assert_allclose(np.asarray(dfl), np.asarray(dfl_ref))
+
+    from dbsr_tpu.ops.warp_pallas import _warp_bwd_pallas
+    df, dfl = _warp_bwd_pallas(feat, flow, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dfl), np.asarray(dfl_ref),
+                               atol=1e-4)
+
+
+def test_pallas_backward_integer_flow_boundary():
+    """Integer flows put samples exactly on pixels/borders — the
+    piecewise-constant clip/mask gradients must still match autodiff."""
+    feat = jnp.asarray(np.random.RandomState(3).rand(1, 6, 6, 8).astype(
+        np.float32))
+    flow = jnp.zeros((1, 6, 6, 2)).at[..., 0].set(2.0).at[..., 1].set(-1.0)
+    g = jnp.ones((1, 6, 6, 8))
+    _, vjp_ref = jax.vjp(interp.warp, feat, flow)
+    df_ref, dfl_ref = vjp_ref(g)
+    from dbsr_tpu.ops.warp_pallas import _warp_bwd_pallas
+    df, dfl = _warp_bwd_pallas(feat, flow, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dfl), np.asarray(dfl_ref),
+                               atol=1e-5)
 
 
 def test_warp_auto_cpu_falls_back():
