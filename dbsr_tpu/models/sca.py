@@ -46,9 +46,12 @@ def match_colors(im_ref: jax.Array, im_q: jax.Array, im_test: jax.Array,
     q_f = q_s.reshape(B, -1, 3)
 
     def solve(a, b):
-        # min ||a @ c - b||: c [3, 3]
-        c, *_ = jnp.linalg.lstsq(a, b)
-        return c
+        # min ||a @ c - b|| via normal equations: c = (A^T A + eps)^-1 A^T B.
+        # The system is 3x3 and well-conditioned for smoothed image stats;
+        # this avoids jnp.linalg.lstsq's SVD, which lowers poorly on TPU.
+        ata = a.T @ a + 1e-6 * jnp.eye(3, dtype=a.dtype)
+        atb = a.T @ b
+        return jnp.linalg.solve(ata, atb)
 
     c_mat = jax.vmap(solve)(q_f, ref_f)  # [B, 3, 3]
 
