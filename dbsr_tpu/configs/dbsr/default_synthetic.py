@@ -40,7 +40,11 @@ def run(settings):
         border_crop=24, max_translation=24.0, max_rotation=1.0,
         max_shear=0.0, max_scale=0.0,
         random_ccm=True, random_gains=True, smoothstep=True, gamma=True,
-        add_noise=True)
+        add_noise=True,
+        # 5.8x faster training; slightly different degradation kernel than
+        # the reference two-stage resampling (see PERF.md). Flip off for
+        # strict synthesis parity.
+        fused_resample=getattr(settings, "fused_resample", True))
     settings.burst_cfg = cfg
 
     train_ds = ZurichRAW2RGB(settings.env.zurichraw2rgb_dir, "train")

@@ -129,3 +129,33 @@ def test_deterministic_given_key():
     a = synthesize_batch(jax.random.key(3), crops, SMALL)
     b = synthesize_batch(jax.random.key(3), crops, SMALL)
     np.testing.assert_allclose(np.asarray(a["burst"]), np.asarray(b["burst"]))
+
+
+def test_fused_resample_close_to_two_stage():
+    """Fused warp+downsample approximates the two-stage path (different
+    resampling kernel, same geometry): flows equal to high precision,
+    images close on smooth content."""
+    from dbsr_tpu.ops.filtering import apply_kernel, get_gaussian_kernel
+    cfg2 = SMALL._replace(add_noise=False)
+    cfgf = cfg2._replace(fused_resample=True)
+    img = _img(11)
+    k, _ = get_gaussian_kernel(2.0)
+    img = apply_kernel(img, k)
+    key = jax.random.key(12)
+    lr_a, flow_a = single2lrburst(key, img, cfg2)
+    lr_b, flow_b = single2lrburst(key, img, cfgf)
+    # flows: fused evaluates the affine exactly; two-stage resamples the
+    # grid (same affine function, so interpolation is exact too)
+    np.testing.assert_allclose(np.asarray(flow_a), np.asarray(flow_b),
+                               atol=1e-3)
+    diff = np.abs(np.asarray(lr_a) - np.asarray(lr_b))
+    assert diff.mean() < 0.02
+
+
+def test_fused_resample_shapes_and_ranges():
+    cfgf = SMALL._replace(fused_resample=True)
+    out = rgb2rawburst(jax.random.key(13), _img(13), cfgf)
+    assert out["burst"].shape == (SMALL.burst_size, 8, 8, 4)
+    b = np.asarray(out["burst"])
+    assert b.min() >= 0.0 and b.max() <= 1.0
+    np.testing.assert_allclose(np.asarray(out["flow"][0]), 0.0, atol=1e-5)
