@@ -33,9 +33,9 @@ import jax.numpy as jnp
 from dbsr_tpu.models.dbsr import dbsrnet_cvpr2021
 
 REFERENCE_NOMINAL_BURSTS_PER_SEC = 10.0
-BATCH = 4
+BATCH = 8
 BURST_N = 14
-ITERS = 64
+ITERS = 32
 
 
 def main():
