@@ -65,10 +65,11 @@ def save_results(network_params: List[NetworkParam], dataset_root: str,
 def compute_score(network_params: List[NetworkParam], dataset_root: str,
                   workspace_dir: str = "", boundary_ignore: int = 40,
                   max_bursts: Optional[int] = None,
-                  with_lpips: bool = True) -> Dict:
+                  with_lpips: bool = True, dataset=None,
+                  sr_factor: int = 4) -> Dict:
     """Aligned metrics over the BurstSR val set (reference
     ``evaluation/burstsr/compute_score.py:38-136``)."""
-    dataset = get_burstsr_val_set(dataset_root)
+    dataset = dataset or get_burstsr_val_set(dataset_root)
     n_bursts = min(len(dataset), max_bursts or len(dataset))
 
     lpips_fn = None
@@ -87,7 +88,7 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
         name = n.get_display_name()
         names.append(name)
         net, params, _ = n.load_net(workspace_dir)
-        sca = make_sca(_alignment_apply_from(params), sr_factor=4)
+        sca = make_sca(_alignment_apply_from(params), sr_factor=sr_factor)
 
         @jax.jit
         def eval_one(params, burst, gt):

@@ -129,3 +129,38 @@ def test_canon_generate_processed_image():
     out = CanonImage.generate_processed_image(im, meta)
     assert out.shape == (16, 16, 3)
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_burstsr_eval_end_to_end(burstsr_root, tmp_path):
+    """Full aligned-metric evaluation path: tiny checkpoint -> BurstSR
+    fixture -> SCA (flow from the model's own alignment net) -> masked
+    PSNR/SSIM report."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dbsr_tpu.data.burstsr import BurstSRDataset, BurstSRProcessing, \
+        IndexedBurstSampler
+    from dbsr_tpu.evaluation.burstsr import compute_score
+    from dbsr_tpu.evaluation.network_param import NetworkParam
+    from dbsr_tpu.models.dbsr import dbsrnet_tiny
+    from dbsr_tpu.training.checkpoint import save_checkpoint
+    from dbsr_tpu.training.state import TrainState
+
+    net = dbsrnet_tiny(upsample_factor=4)
+    burst_shape = (1, 3, 16, 16, 4)
+    params = net.init(jax.random.key(0), np.zeros(burst_shape, np.float32))
+    state = TrainState.create(params, optax.adam(1e-4))
+    ckpt_path = save_checkpoint(str(tmp_path), "tiny", 1, state, net=net)
+
+    ds = BurstSRDataset(burstsr_root, split="val")
+    proc = BurstSRProcessing(crop_sz=16, substract_black_level=True,
+                             random_crop=False)
+    sampler = IndexedBurstSampler(ds, burst_size=3, processing=proc)
+
+    scores = compute_score(
+        [NetworkParam(checkpoint_path=ckpt_path, display_name="tiny")],
+        dataset_root="", dataset=sampler, boundary_ignore=4,
+        with_lpips=False, max_bursts=1, sr_factor=2)
+    assert np.isfinite(scores["psnr"]["tiny"])
+    assert -1.0 <= scores["ssim"]["tiny"] <= 1.0
