@@ -467,3 +467,29 @@ def get_burstsr_val_set(root: str):
     proc = BurstSRProcessing(crop_sz=80, substract_black_level=True,
                              random_flip=False, random_crop=False)
     return IndexedBurstSampler(ds, burst_size=14, processing=proc)
+
+
+class BaseRawBurstDataset:
+    """Burst-dataset contract (reference
+    ``dataset/base_rawburst_dataset.py:18-85``): implement ``get_burst``
+    and ``get_burst_info``. ``BurstSRDataset`` satisfies it; synthetic
+    sources can subclass to plug into the burst samplers."""
+
+    def __init__(self, name: str, root: str):
+        self.name = name
+        self.root = root
+
+    def get_name(self) -> str:
+        return self.name
+
+    def get_num_bursts(self) -> int:
+        raise NotImplementedError
+
+    def __len__(self):
+        return self.get_num_bursts()
+
+    def get_burst_info(self, burst_id: int) -> dict:
+        raise NotImplementedError
+
+    def get_burst(self, burst_id: int, im_ids, info=None):
+        raise NotImplementedError

@@ -74,3 +74,47 @@ def visualize_synburst(network_params: List[NetworkParam],
                  (base_up, pred, gt)], axis=1)
             write_png(os.path.join(
                 d, f"{meta['burst_name']}_psnr{psnr:.2f}.png"), panel)
+
+
+def visualize_burstsr(network_params, dataset_root: str, out_dir: str,
+                      workspace_dir: str = "", max_bursts: int = 5,
+                      sr_factor: int = 4) -> None:
+    """BurstSR comparison panels: base frame (upsampled) | SCA-aligned
+    prediction | DSLR GT, with aligned PSNR in the filename (offline
+    stand-in for reference ``evaluation/burstsr/visualize_results.py``)."""
+    from dbsr_tpu.data.burstsr import get_burstsr_val_set
+    from dbsr_tpu.evaluation.burstsr import _alignment_apply_from
+    from dbsr_tpu.models.sca import make_sca
+
+    dataset = get_burstsr_val_set(dataset_root)
+    os.makedirs(out_dir, exist_ok=True)
+    for n in network_params:
+        net, params, _ = n.load_net(workspace_dir)
+        sca = make_sca(_alignment_apply_from(params), sr_factor=sr_factor)
+
+        @jax.jit
+        def run_one(params, burst, gt):
+            pred, _ = net.apply(params, burst[None])
+            pred = jnp.clip(pred, 0.0, 1.0)
+            pred_m, valid = sca(pred, gt[None], burst[None])
+            valid = valid.astype(jnp.float32)
+            p = M.psnr(pred_m, gt[None], boundary_ignore=40, valid=valid)
+            return pred_m[0], p
+
+        d = os.path.join(out_dir, n.get_unique_name())
+        os.makedirs(d, exist_ok=True)
+        for idx in range(min(max_bursts, len(dataset))):
+            sample = dataset[idx]
+            burst = jnp.asarray(sample["burst"][:n.burst_sz]
+                                if n.burst_sz else sample["burst"])
+            gt = jnp.asarray(sample["frame_gt"])
+            pred_m, psnr = run_one(params, burst, gt)
+            base = np.asarray(demosaic_naive(burst[0]))
+            base_up = np.asarray(resize_bilinear(
+                jnp.asarray(base), gt.shape[:2]))
+            panel = np.concatenate(
+                [_to_u8(x) for x in (base_up, np.asarray(pred_m),
+                                     np.asarray(gt))], axis=1)
+            write_png(os.path.join(
+                d, f"{sample['burst_name']}_apsnr{float(psnr):.2f}.png"),
+                panel)

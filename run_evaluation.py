@@ -74,7 +74,11 @@ def main():
             ev.save_results(network_params, root, out,
                             workspace_dir=workspace)
         else:
-            raise SystemExit("visualize is implemented for synburst only")
+            from dbsr_tpu.evaluation.visualize import visualize_burstsr
+            out = args.out_dir or os.path.join(workspace, "burstsr_vis")
+            visualize_burstsr(network_params, root, out,
+                              workspace_dir=workspace,
+                              max_bursts=args.max_bursts or 5)
 
 
 if __name__ == "__main__":
