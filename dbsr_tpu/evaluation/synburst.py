@@ -66,6 +66,7 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
                   saved_results_root: Optional[str] = None,
                   boundary_ignore: int = 40,
                   with_lpips: bool = True,
+                  lpips_weights: Optional[str] = None,
                   with_msssim: bool = False,
                   max_bursts: Optional[int] = None,
                   dataset=None) -> Dict:
@@ -80,7 +81,7 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
     if with_lpips:
         try:
             from dbsr_tpu.models.lpips import load_lpips
-            lpips_fn = load_lpips()
+            lpips_fn = load_lpips(lpips_weights)
         except Exception as e:
             print(f"LPIPS unavailable ({e}); skipping")
 

@@ -120,11 +120,16 @@ class WeightedSumMerge(nn.Module):
     offset_modulo: Optional[float] = 1.0
     softmax: bool = True
     use_base_frame: bool = True
+    # Uniform noise amplitude on the reference frame's (zero) offsets so the
+    # net cannot key on "offset == exactly 0" to find the reference frame
+    # (reference ``merging.py:92-99``). Active only when an ``offset_noise``
+    # RNG stream is supplied to ``apply`` (train passes it, eval doesn't).
+    ref_offset_noise: float = 0.0
     activation: str = "relu"
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, inputs):
+    def __call__(self, inputs, return_logits: bool = False):
         ref_feat = inputs["ref_feat"][:, :1]  # [B, 1, h, w, C]
         oth_feat = inputs["oth_feat"]
         offsets = inputs["offsets"]
@@ -150,7 +155,13 @@ class WeightedSumMerge(nn.Module):
 
         pred_in = [base_b, diff]
         if self.use_offset:
-            offsets_base = jnp.zeros((B, 1) + hw + (2,), offsets.dtype)
+            if self.ref_offset_noise > 0.0 and self.has_rng("offset_noise"):
+                offsets_base = jax.random.uniform(
+                    self.make_rng("offset_noise"), (B, 1) + hw + (2,),
+                    offsets.dtype, -self.ref_offset_noise,
+                    self.ref_offset_noise)
+            else:
+                offsets_base = jnp.zeros((B, 1) + hw + (2,), offsets.dtype)
             offs = jnp.concatenate([offsets_base, offsets], axis=1)
             offs = _flatten_frames(offs)
             if self.offset_modulo is not None:
@@ -173,6 +184,12 @@ class WeightedSumMerge(nn.Module):
         logits = ConvBlock(self.input_dim, 3, activation="none",
                            dtype=self.dtype, name="weight_out")(x)
         logits = logits.reshape((B, N) + logits.shape[-3:])
+
+        if return_logits:
+            # pre-normalization outputs for frame-sharded fusion
+            # (dbsr_tpu/parallel/frame_sharding.py): the softmax-sum over
+            # the GLOBAL frame axis is then computed with psum collectives.
+            return {"all_feat": all_feat, "logits": logits}
 
         if self.softmax:
             weights = jax.nn.softmax(logits, axis=1)
@@ -197,6 +214,11 @@ class PixShuffleDecoder(nn.Module):
     gauss_blur_sd: Optional[float] = 1.0
     gauss_ksz: int = 3
     activation: str = "relu"
+    # The reference's final predictor is conv_block with the DEFAULT
+    # activation — i.e. the output RGB is ReLU'd (``decoders.py:52`` +
+    # ``blocks.py:46`` default activation='relu'). Matched here; verified
+    # by the full-network torch-oracle parity test.
+    final_activation: str = "relu"
     dtype: Any = None
     # Run the post-shuffle stage in space-to-depth space (exact transform,
     # same params; ~1.5x faster on TPU for the 32-channel 384^2 stage —
@@ -221,7 +243,8 @@ class PixShuffleDecoder(nn.Module):
         for _ in range(self.num_post_res_blocks):
             x = ResBlock(self.post_conv_dim, activation=self.activation,
                          dtype=d, s2d=s2d)(x)
-        x = ConvBlock(3, 1, activation="none", dtype=d, s2d=s2d)(x)
+        x = ConvBlock(3, 1, activation=self.final_activation, dtype=d,
+                      s2d=s2d)(x)
         if s2d:
             x = pixel_shuffle(x, 2)
         return x
@@ -246,6 +269,8 @@ class DBSRNet(nn.Module):
     use_offset: bool = True
     softmax: bool = True
     use_base_frame: bool = True
+    ref_offset_noise: float = 0.0
+    final_activation: str = "relu"  # see PixShuffleDecoder.final_activation
     icnrinit: bool = True
     gauss_blur_sd: Optional[float] = 1.0
     gauss_ksz: int = 3
@@ -265,13 +290,14 @@ class DBSRNet(nn.Module):
             self.offset_feat_dim, self.num_offset_feat_extractor_res,
             self.num_weight_predictor_res, self.use_offset,
             self.offset_modulo, self.softmax, self.use_base_frame,
-            self.activation, self.dtype, name="merging")(enc)
+            self.ref_offset_noise, self.activation, self.dtype,
+            name="merging")(enc)
         pred = PixShuffleDecoder(
             self.dec_init_conv_dim, self.dec_num_pre_res_blocks,
             self.dec_post_conv_dim, self.dec_num_post_res_blocks,
             self.upsample_factor, self.icnrinit, self.gauss_blur_sd,
-            self.gauss_ksz, self.activation, self.dtype,
-            self.fused_s2d_decoder, name="decoder")(
+            self.gauss_ksz, self.activation, self.final_activation,
+            self.dtype, self.fused_s2d_decoder, name="decoder")(
             merged["fused_enc"])
         # predictions in f32 for losses/metrics regardless of compute dtype
         return pred.astype(jnp.float32), {

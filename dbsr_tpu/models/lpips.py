@@ -109,8 +109,15 @@ def load_lpips(weights_path: Optional[str] = None) -> Callable:
             "convert_from_torch)")
     raw = np.load(path)
     weights = {k: jnp.asarray(raw[k]) for k in raw.files}
+    return lpips_from_weights(weights)
 
-    @jax.jit
+
+def lpips_from_weights(weights) -> Callable:
+    """Build the jitted metric fn from an in-memory weight dict
+    (``boundary_ignore`` is a static arg — it selects slice shapes)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
     def fn(pred, gt, boundary_ignore=None):
         if pred.ndim == 3:
             pred, gt = pred[None], gt[None]

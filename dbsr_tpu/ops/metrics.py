@@ -50,11 +50,23 @@ def pixel_error(pred: jax.Array, gt: jax.Array, metric: str = "l1",
     elif metric == "l2":
         err = diff**2
     elif metric == "l2_sqrt":
-        # channel-sum L2 norm per pixel, then mean (reference `:37-39`)
+        # channel-sum L2 norm per pixel, then mean (reference `:37-39`).
+        # With a mask: per-pixel norm has no channel axis, so align the
+        # mask by dropping its channel dim and apply the same
+        # elem-ratio-corrected masked mean as the other metrics. (The
+        # reference's forward accepts this combination but its l2_sqrt
+        # lambda lacks the `reduction` kwarg, `image_quality_v2.py:36-38,
+        # 60` — we implement the evident intent instead of the crash.)
         err = jnp.sqrt((diff**2).sum(axis=-1))
         if valid is None:
             return err.mean()
-        raise NotImplementedError("l2_sqrt with valid mask")
+        valid = valid.astype(err.dtype)
+        if valid.ndim == err.ndim + 1:
+            valid = valid[..., 0]
+        valid_b = jnp.broadcast_to(valid, err.shape)
+        eps = 1e-12
+        elem_ratio = err.size / valid.size
+        return (err * valid_b).sum() / (valid.sum() * elem_ratio + eps)
     elif metric == "charbonnier":
         eps = 1e-3
         err = jnp.sqrt(diff**2 + eps**2)

@@ -36,9 +36,47 @@ from dbsr_tpu.ops import interp
 _TILE = 256
 
 
-def _warp_kernel(feat_ref, flow_ref, out_ref, *, H, W, C, T):
+def _tile(P: int, dtype) -> int:
+    """Output-pixel tile size. f32 kernels run the MXU at HIGHEST precision
+    (see ``_dot``), whose scratch + the [T, P] one-hot operator must fit
+    the 16 MB scoped-VMEM limit — measured OOM at T=256/Cb=256 f32 at
+    48x48x512; fits at T=128/Cb=128."""
+    t = 128 if jnp.dtype(dtype) == jnp.float32 else _TILE
+    return t if P % t == 0 else P
+
+
+def _dot(wmat: jax.Array, rhs: jax.Array) -> jax.Array:
+    """[T, P] operator-matrix @ [P, C] features with f32 accumulation.
+
+    TPU MXU DEFAULT precision truncates f32 inputs to bf16 — measured
+    ~4.5e-3 relative error vs the gather formulation on-chip (invisible in
+    interpret mode). Force HIGHEST (full f32) for f32 operands; bf16
+    operands keep DEFAULT (native rate).
+    """
+    prec = (jax.lax.Precision.HIGHEST if rhs.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(
+        wmat.astype(rhs.dtype), rhs, (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+
+
+def _channel_block(C: int, dtype) -> int:
+    """Channel-block size so the per-tile VMEM footprint (feat block +
+    one-hot operator + HIGHEST-precision matmul scratch) stays under the
+    16 MB scoped limit. f32 needs smaller blocks: full-precision MXU
+    matmuls use ~3x the scratch of bf16."""
+    cap = 128 if jnp.dtype(dtype) == jnp.float32 else 512
+    if C <= cap:
+        return C
+    cb = cap
+    while C % cb:
+        cb //= 2
+    return cb
+
+
+def _warp_kernel(feat_ref, flow_ref, out_ref, *, H, W, T):
     P = H * W
-    feat = feat_ref[0].reshape(P, C)
+    feat = feat_ref[0].reshape(P, feat_ref.shape[-1])
     fl = flow_ref[0].astype(jnp.float32)  # [T, 2]
 
     t = pl.program_id(1)
@@ -70,10 +108,7 @@ def _warp_kernel(feat_ref, flow_ref, out_ref, *, H, W, C, T):
         tap_w = jnp.where(valid, w, 0.0)  # [T, 1]
         wmat = wmat + jnp.where(cols == idx, tap_w, 0.0)
 
-    out = jax.lax.dot_general(
-        wmat.astype(feat.dtype), feat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    out = _dot(wmat, feat)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -81,18 +116,19 @@ def _warp_pallas_impl(feat: jax.Array, flow: jax.Array,
                       interpret: bool = False) -> jax.Array:
     B, H, W, C = feat.shape
     P = H * W
-    T = _TILE if P % _TILE == 0 else P
+    T = _tile(P, feat.dtype)
+    Cb = _channel_block(C, feat.dtype)
     flow_flat = flow.reshape(B, P, 2)
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, H=H, W=W, C=C, T=T),
-        grid=(B, P // T),
+        functools.partial(_warp_kernel, H=H, W=W, T=T),
+        grid=(B, P // T, C // Cb),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, W, Cb), lambda b, t, c: (b, 0, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, T, 2), lambda b, t, c: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, T, Cb), lambda b, t, c: (b, t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, C), feat.dtype),
         cost_estimate=pl.CostEstimate(
@@ -136,12 +172,12 @@ def _tap_weights(fl, px, py, H, W):
     return taps
 
 
-def _dfeat_kernel(flow_ref, g_ref, out_ref, *, H, W, C, T):
+def _dfeat_kernel(flow_ref, g_ref, out_ref, *, H, W, T):
     """d_feat tile = W^T_tile @ g: for a tile of INPUT pixels q, gather the
     transposed operator rows from all P output pixels' taps."""
     P = H * W
     fl = flow_ref[0].astype(jnp.float32)  # [P, 2] — full flow
-    g = g_ref[0].reshape(P, C)
+    g = g_ref[0].reshape(P, g_ref.shape[-1])
 
     t = pl.program_id(1)
     qrange = t * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)  # [T,1]
@@ -173,19 +209,18 @@ def _dfeat_kernel(flow_ref, g_ref, out_ref, *, H, W, C, T):
         tap_w = jnp.where(valid, w, 0.0)  # [1, P]
         wt = wt + jnp.where(idx == qrange, tap_w, 0.0)
 
-    out = jax.lax.dot_general(
-        wt.astype(g.dtype), g, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    out = _dot(wt, g)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _dflow_kernel(feat_ref, flow_ref, g_ref, out_ref, *, H, W, C, T):
+def _dflow_kernel(feat_ref, flow_ref, g_ref, out_ref, *, H, W, T):
     """d_flow tile: build derivative operators Dx/Dy for a tile of OUTPUT
-    pixels, matmul against feat, then row-dot with g."""
+    pixels, matmul against feat (one channel block per grid step,
+    accumulated into the output), then row-dot with g."""
     P = H * W
-    feat = feat_ref[0].reshape(P, C)
+    feat = feat_ref[0].reshape(P, feat_ref.shape[-1])
     fl = flow_ref[0].astype(jnp.float32)  # [T, 2]
-    g = g_ref[0]  # [T, C]
+    g = g_ref[0]  # [T, Cb]
 
     t = pl.program_id(1)
     pix = t * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
@@ -200,52 +235,58 @@ def _dflow_kernel(feat_ref, flow_ref, g_ref, out_ref, *, H, W, C, T):
         dxmat = dxmat + jnp.where(hit, dwdx, 0.0)
         dymat = dymat + jnp.where(hit, dwdy, 0.0)
 
-    fx = jax.lax.dot_general(dxmat.astype(feat.dtype), feat,
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    fy = jax.lax.dot_general(dymat.astype(feat.dtype), feat,
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    fx = _dot(dxmat, feat)
+    fy = _dot(dymat, feat)
     gf = g.astype(jnp.float32)
     dfx = (fx * gf).sum(axis=1, keepdims=True)
     dfy = (fy * gf).sum(axis=1, keepdims=True)
-    out_ref[0] = jnp.concatenate([dfx, dfy], axis=1).astype(out_ref.dtype)
+    contrib = jnp.concatenate([dfx, dfy], axis=1).astype(out_ref.dtype)
+
+    # channel blocks (last grid axis, innermost) accumulate into the tile
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(pl.program_id(2) != 0)
+    def _acc():
+        out_ref[0] += contrib
 
 
 def _warp_bwd_pallas(feat, flow, g, interpret=False):
     B, H, W, C = feat.shape
     P = H * W
-    T = _TILE if P % _TILE == 0 else P
+    T = _tile(P, feat.dtype)
+    Cb = _channel_block(C, feat.dtype)
     flow_flat = flow.reshape(B, P, 2)
     g_flat = g.reshape(B, P, C)
 
     dfeat = pl.pallas_call(
-        functools.partial(_dfeat_kernel, H=H, W=W, C=C, T=T),
-        grid=(B, P // T),
+        functools.partial(_dfeat_kernel, H=H, W=W, T=T),
+        grid=(B, P // T, C // Cb),
         in_specs=[
-            pl.BlockSpec((1, P, 2), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, P, 2), lambda b, t, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, C), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, P, Cb), lambda b, t, c: (b, 0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, T, Cb), lambda b, t, c: (b, t, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, C), feat.dtype),
         interpret=interpret,
     )(flow_flat, g_flat).reshape(B, H, W, C)
 
     dflow = pl.pallas_call(
-        functools.partial(_dflow_kernel, H=H, W=W, C=C, T=T),
-        grid=(B, P // T),
+        functools.partial(_dflow_kernel, H=H, W=W, T=T),
+        grid=(B, P // T, C // Cb),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0),
+            pl.BlockSpec((1, H, W, Cb), lambda b, t, c: (b, 0, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, T, 2), lambda b, t, c: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, T, Cb), lambda b, t, c: (b, t, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, 2), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, T, 2), lambda b, t, c: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, 2), flow.dtype),
         interpret=interpret,

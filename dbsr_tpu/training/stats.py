@@ -6,9 +6,10 @@ from typing import Dict
 
 
 class AverageMeter:
-    """Running average of a scalar stat."""
+    """Running average of a scalar stat with per-epoch average history."""
 
     def __init__(self):
+        self.history = []
         self.clear()
 
     def clear(self):
@@ -24,6 +25,12 @@ class AverageMeter:
         self.val = float(val)
         self.sum += float(val) * n
         self.count += n
+
+    def new_epoch(self):
+        """Archive the finished epoch's average and reset the meter."""
+        if self.count:
+            self.history.append(self.avg)
+        self.clear()
 
 
 class StatValue:
@@ -57,4 +64,4 @@ class StatsDict(dict):
 
     def new_epoch(self):
         for m in self.values():
-            m.clear()
+            m.new_epoch()

@@ -124,7 +124,15 @@ class Trainer:
                 out_shardings=(rs, None))
             self._eval_step = jax.jit(
                 eval_step, in_shardings=(rs, None, ds))
-            self._device_put = lambda b: jax.device_put(b, ds)
+            if jax.process_count() > 1:
+                # multi-host: each process feeds only its local slice of
+                # the global batch (dbsr_tpu/parallel/multihost.py)
+                from dbsr_tpu.parallel.multihost import \
+                    global_batch_from_local
+                mesh = self.mesh
+                self._device_put = lambda b: global_batch_from_local(mesh, b)
+            else:
+                self._device_put = lambda b: jax.device_put(b, ds)
         else:
             self._train_step = jax.jit(train_step)
             self._eval_step = jax.jit(eval_step)

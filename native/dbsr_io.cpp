@@ -10,11 +10,21 @@
 //
 // Exposed via a plain C ABI for ctypes (no pybind11 in this image).
 //
-// Build: g++ -O3 -march=native -shared -fPIC dbsr_io.cpp -o libdbsr_io.so -lz -lpthread
+// Build: g++ -O3 -march=native -shared -fPIC dbsr_io.cpp -o libdbsr_io.so -lz -ljpeg -lpthread
+//
+// JPEG: libjpeg-turbo (system libjpeg.so is turbo 2.1.5 in this image) —
+// the fast path for the Zurich RGB feed, matching the reference's
+// jpeg4py/libjpeg-turbo loader (`data/image_loader.py:5-61`). PIL decodes
+// the 448^2 canon JPEGs at ~130/s single-threaded; the training feed needs
+// ~80/s plus crop work, so the native path removes the host-side risk.
 
+#include <cstddef>
+#include <cstdio>  // jpeglib.h needs size_t/FILE declared first
+#include <jpeglib.h>
 #include <zlib.h>
 
 #include <atomic>
+#include <csetjmp>
 #include <cstdlib>
 #include <cstdint>
 #include <cstdio>
@@ -174,6 +184,56 @@ int decode_impl(const uint8_t* buf, size_t len, uint8_t* out,
   return 0;
 }
 
+// --------------------------------------------------------------------------
+// JPEG (libjpeg-turbo)
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode an in-memory JPEG to RGB8. If out == nullptr, only fills info.
+// Returns 0 on success.
+int jpeg_decode_impl(const uint8_t* buf, size_t len, uint8_t* out, int* w,
+                     int* h, int* c) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -20;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -21;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  if (w) *w = int(cinfo.image_width);
+  if (h) *h = int(cinfo.image_height);
+  if (c) *c = 3;
+  if (!out) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_start_decompress(&cinfo);
+  size_t row_bytes = size_t(cinfo.output_width) * cinfo.output_components;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + size_t(cinfo.output_scanline) * row_bytes;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 int read_file(const char* path, std::vector<uint8_t>* buf) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
@@ -243,6 +303,59 @@ int dbsr_load_burst(const char** paths, int n, uint8_t* out,
         size_t want = size_t(info.width) * info.height * info.channels *
                       (info.depth / 8);
         if (want != frame_bytes) {
+          err.store(100 + i);
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  return -err.load();
+}
+
+// JPEG header: w/h (+c, always 3: decoded as RGB). Returns 0 on success.
+int dbsr_jpeg_info(const uint8_t* buf, size_t len, int* w, int* h, int* c) {
+  return jpeg_decode_impl(buf, len, nullptr, w, h, c);
+}
+
+// Decode an in-memory JPEG into caller-allocated out (h*w*3 uint8 RGB).
+int dbsr_jpeg_decode(const uint8_t* buf, size_t len, uint8_t* out) {
+  return jpeg_decode_impl(buf, len, out, nullptr, nullptr, nullptr);
+}
+
+// Load `n` same-sized JPEG files concurrently into one contiguous RGB8
+// buffer of `frame_bytes` each. Returns 0 or -(100+i) for the failed file.
+int dbsr_load_jpeg_batch(const char** paths, int n, uint8_t* out,
+                         size_t frame_bytes, int num_threads) {
+  std::atomic<int> next{0};
+  std::atomic<int> err{0};
+  int workers = num_threads > 0
+                    ? num_threads
+                    : int(std::min<unsigned>(std::thread::hardware_concurrency(),
+                                             unsigned(n)));
+  if (workers < 1) workers = 1;
+  std::vector<std::thread> pool;
+  pool.reserve(size_t(workers));
+  for (int t = 0; t < workers; ++t) {
+    pool.emplace_back([&]() {
+      for (;;) {
+        int i = next.fetch_add(1);
+        if (i >= n || err.load() != 0) return;
+        std::vector<uint8_t> buf;
+        if (read_file(paths[i], &buf) != 0) {
+          err.store(100 + i);
+          return;
+        }
+        int w = 0, h = 0, c = 0;
+        if (jpeg_decode_impl(buf.data(), buf.size(), nullptr, &w, &h, &c)
+                != 0 ||
+            size_t(w) * h * 3 != frame_bytes) {
+          err.store(100 + i);
+          return;
+        }
+        if (jpeg_decode_impl(buf.data(), buf.size(),
+                             out + size_t(i) * frame_bytes, nullptr, nullptr,
+                             nullptr) != 0) {
           err.store(100 + i);
           return;
         }

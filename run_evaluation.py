@@ -37,7 +37,16 @@ def main():
                    help="score saved predictions instead of running nets")
     p.add_argument("--max_bursts", type=int, default=None)
     p.add_argument("--no_lpips", action="store_true")
+    p.add_argument("--lpips_weights", default=None,
+                   help="path to converted lpips_alex.npz (overrides "
+                        "DBSR_TPU_LPIPS_WEIGHTS / pretrained-nets dir)")
     args = p.parse_args()
+
+    if args.load_saved and not args.out_dir:
+        p.error("--load_saved requires --out_dir (the directory the "
+                "predictions were saved to with save_results)")
+    if args.load_saved and args.action != "compute_score":
+        p.error("--load_saved only applies to compute_score")
 
     from dbsr_tpu.environment import env_settings
     env = env_settings()
@@ -51,7 +60,9 @@ def main():
             ev.compute_score(
                 network_params, root, workspace_dir=workspace,
                 saved_results_root=(args.out_dir if args.load_saved else None),
-                with_lpips=not args.no_lpips, max_bursts=args.max_bursts)
+                with_lpips=not args.no_lpips,
+                lpips_weights=args.lpips_weights,
+                max_bursts=args.max_bursts)
         elif args.action == "save_results":
             out = args.out_dir or os.path.join(workspace, "synburst_results")
             ev.save_results(network_params, root, out,
@@ -68,6 +79,7 @@ def main():
         if args.action == "compute_score":
             ev.compute_score(network_params, root, workspace_dir=workspace,
                              with_lpips=not args.no_lpips,
+                             lpips_weights=args.lpips_weights,
                              max_bursts=args.max_bursts)
         elif args.action == "save_results":
             out = args.out_dir or os.path.join(workspace, "burstsr_results")

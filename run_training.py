@@ -11,6 +11,11 @@ import importlib
 
 
 def run_training(module: str, config: str, **overrides):
+    # Multi-host: env-gated jax.distributed.initialize before any device
+    # use (no-op unless DBSR_TPU_DIST=1; see dbsr_tpu/parallel/multihost.py)
+    from dbsr_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed()
+
     from dbsr_tpu.environment import Settings
 
     settings = Settings()

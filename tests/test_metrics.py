@@ -121,3 +121,26 @@ def test_msssim_decreases_with_noise():
     b = jnp.clip(a + jnp.asarray(_rand((1, 176, 176, 3), seed=10) - 0.5) * 0.2,
                  0, 1)
     assert float(metrics.msssim(a, b)) < float(metrics.msssim(a, a))
+
+
+def test_pixel_error_l2_sqrt_masked():
+    """l2_sqrt with a validity mask: per-pixel channel-norm error, masked
+    mean with the elem-ratio correction (reference accepts this combination
+    but its lambda crashes, image_quality_v2.py:36-38,60 — we implement the
+    evident intent)."""
+    pred = jnp.asarray(_rand((1, 4, 4, 3)))
+    gt = jnp.asarray(_rand((1, 4, 4, 3), seed=1))
+    valid = jnp.zeros((1, 4, 4, 1)).at[0, :2].set(1.0)
+
+    err = metrics.pixel_error(pred, gt, "l2_sqrt", valid=valid)
+
+    d = np.asarray(pred) - np.asarray(gt)
+    per_pixel = np.sqrt((d**2).sum(-1))  # [1, 4, 4]
+    v = np.asarray(valid)[..., 0]
+    expected = (per_pixel * v).sum() / (
+        v.sum() * (per_pixel.size / v.size) + 1e-12)
+    np.testing.assert_allclose(float(err), expected, rtol=1e-5)
+    # full mask == unmasked mean
+    full = metrics.pixel_error(pred, gt, "l2_sqrt",
+                               valid=jnp.ones((1, 4, 4, 1)))
+    np.testing.assert_allclose(float(full), per_pixel.mean(), rtol=1e-5)

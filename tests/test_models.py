@@ -140,3 +140,28 @@ def test_fused_s2d_decoder_exactness():
     pa, _ = net_a.apply(params, burst)
     pb, _ = net_b.apply(params, burst)
     np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-6)
+
+
+def test_ref_offset_noise(monkeypatch):
+    """ref_offset_noise perturbs the reference frame's zero offsets only
+    when the `offset_noise` RNG stream is supplied (reference
+    merging.py:92-99); without the stream (eval) the output is unchanged."""
+    burst = jnp.asarray(
+        np.random.RandomState(0).rand(1, 3, 16, 16, 4).astype(np.float32))
+    net0 = dbsrnet_tiny()
+    netN = dbsrnet_tiny(ref_offset_noise=0.25)
+    params = net0.init(jax.random.key(0), burst)
+
+    p0, _ = net0.apply(params, burst)
+    # no RNG stream -> noise inactive, identical to the zero-offset net
+    pN_eval, _ = netN.apply(params, burst)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(pN_eval),
+                               atol=1e-6)
+    # RNG stream -> output changes
+    pN_train, _ = netN.apply(params, burst,
+                             rngs={"offset_noise": jax.random.key(3)})
+    assert float(jnp.abs(pN_train - p0).max()) > 1e-6
+    # two different keys -> different outputs (noise actually random)
+    pN_train2, _ = netN.apply(params, burst,
+                              rngs={"offset_noise": jax.random.key(4)})
+    assert float(jnp.abs(pN_train - pN_train2).max()) > 1e-7

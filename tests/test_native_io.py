@@ -69,3 +69,45 @@ def test_corrupt_png_rejected(tmp_path, lib_available):
         f.write(b"not a png at all")
     with pytest.raises(ValueError):
         native_io.read_png(p)
+
+
+def test_native_jpeg_matches_pil(tmp_path):
+    """Native libjpeg-turbo decode is bit-exact with PIL (same libjpeg)."""
+    from PIL import Image
+
+    from dbsr_tpu.utils.native_io import (load_jpeg_batch, native_available,
+                                          read_jpeg)
+
+    rng = np.random.RandomState(0)
+    paths = []
+    refs = []
+    for i in range(4):
+        img = (np.kron(rng.rand(28, 28, 3), np.ones((8, 8, 1))) * 255
+               ).astype(np.uint8)
+        p = str(tmp_path / f"im{i}.jpg")
+        Image.fromarray(img).save(p, "JPEG", quality=92)
+        paths.append(p)
+        refs.append(np.asarray(Image.open(p).convert("RGB")))
+
+    one = read_jpeg(paths[0])
+    np.testing.assert_array_equal(one, refs[0])
+
+    batch = load_jpeg_batch(paths, num_threads=2)
+    assert batch.shape == (4,) + refs[0].shape
+    for i in range(4):
+        np.testing.assert_array_equal(batch[i], refs[i])
+
+
+def test_dataset_loader_jpeg_path(tmp_path):
+    """_load_image routes .jpg through the native path and returns RGB."""
+    from PIL import Image
+
+    from dbsr_tpu.data.datasets import _load_image
+
+    img = (np.random.RandomState(1).rand(32, 48, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.jpg")
+    Image.fromarray(img).save(p, "JPEG", quality=95)
+    out = _load_image(p)
+    assert out.shape == (32, 48, 3) and out.dtype == np.uint8
+    np.testing.assert_array_equal(out,
+                                  np.asarray(Image.open(p).convert("RGB")))

@@ -110,11 +110,11 @@ def test_checkpoint_resolution_by_epoch(tmp_path):
 def test_training_decreases_loss(tmp_path):
     trainer = _make_trainer(tmp_path, batches_per_epoch=8)
     state = trainer.train(3, load_latest=False, fail_safe=False)
-    # loss after 3 epochs should be below the first epoch's early value
-    # (use recorded averages)
-    final = trainer.stats["train"]["Loss/total"].avg
-    assert np.isfinite(final)
-    assert final < 0.5  # random-init L1 on [0,1] images starts ~0.25-0.6
+    meter = trainer.stats["train"]["Loss/total"]
+    first = meter.history[0]  # epoch-1 average (archived at epoch roll)
+    final = meter.avg  # last epoch's running average
+    assert np.isfinite(first) and np.isfinite(final)
+    assert final < first, (first, final)
     # checkpoint written every epoch
     assert ckpt.resolve_checkpoint(str(tmp_path), "tiny").endswith(
         "0003.ckpt")

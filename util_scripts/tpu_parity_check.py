@@ -1,0 +1,123 @@
+"""On-chip Pallas-vs-XLA parity check (run on the REAL TPU).
+
+Asserts, on compiled (non-interpret) TPU kernels:
+  1. ``correlation_pallas`` == ``correlation_xla`` (fwd + grads), f32/bf16,
+     at PWC level-2 and level-6 shapes (reference CUDA kernel semantics:
+     ``external/pwcnet/correlation/correlation.py:35-233``).
+  2. ``warp_pallas`` fwd + bwd == the gather-based ``ops.interp.warp`` VJP,
+     f32/bf16, at the encoder shape (512ch 48x48) and a PWC feature shape.
+
+Interpret-mode CPU tests (tests/test_correlation.py, tests/test_warp_pallas.py)
+do not validate tiling/VMEM layout/bf16 accumulation of the real kernels —
+this script does. Usage: ``python util_scripts/tpu_parity_check.py``
+(prints one PASS/FAIL line per check, exits non-zero on failure).
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dbsr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from dbsr_tpu.ops.correlation import correlation_pallas, correlation_xla
+from dbsr_tpu.ops.interp import warp as warp_gather
+from dbsr_tpu.ops.warp_pallas import warp_pallas
+
+FAILURES = []
+
+
+def _check(name, a, b, tol):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    err = float(np.max(np.abs(a - b)))
+    scale = float(np.max(np.abs(b)) + 1e-8)
+    rel = err / scale
+    ok = rel <= tol
+    print(f"{'PASS' if ok else 'FAIL'} {name}: max_abs={err:.3e} "
+          f"rel={rel:.3e} tol={tol:.1e}")
+    if not ok:
+        FAILURES.append(name)
+
+
+def check_correlation(shape, dtype, tol):
+    tag = f"corr {shape} {jnp.dtype(dtype).name}"
+    k1, k2, k3 = jax.random.split(jax.random.key(42), 3)
+    first = jax.random.normal(k1, shape, jnp.float32).astype(dtype)
+    second = jax.random.normal(k2, shape, jnp.float32).astype(dtype)
+
+    out_p = jax.jit(correlation_pallas)(first, second)
+    out_x = jax.jit(correlation_xla)(first, second)
+    _check(f"{tag} fwd", out_p, out_x, tol)
+
+    cot = jax.random.normal(k3, out_x.shape, jnp.float32).astype(dtype)
+
+    def loss_p(f, s):
+        return (correlation_pallas(f, s) * cot).sum()
+
+    def loss_x(f, s):
+        return (correlation_xla(f, s) * cot).sum()
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(first, second)
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(first, second)
+    _check(f"{tag} dfirst", gp[0], gx[0], tol)
+    _check(f"{tag} dsecond", gp[1], gx[1], tol)
+
+
+def check_warp(feat_shape, dtype, tol):
+    tag = f"warp {feat_shape} {jnp.dtype(dtype).name}"
+    B, H, W, C = feat_shape
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    feat = jax.random.normal(k1, feat_shape, jnp.float32).astype(dtype)
+    flow = (3.0 * jax.random.normal(k2, (B, H, W, 2), jnp.float32)
+            ).astype(dtype)
+
+    out_p = jax.jit(warp_pallas)(feat, flow)
+    out_g = jax.jit(warp_gather)(feat, flow)
+    _check(f"{tag} fwd", out_p, out_g, tol)
+
+    cot = jax.random.normal(k3, out_g.shape, jnp.float32).astype(dtype)
+
+    def loss(fn, f, fl):
+        return (fn(f, fl) * cot).sum()
+
+    gp = jax.jit(jax.grad(lambda f, fl: loss(warp_pallas, f, fl),
+                          argnums=(0, 1)))(feat, flow)
+    gg = jax.jit(jax.grad(lambda f, fl: loss(warp_gather, f, fl),
+                          argnums=(0, 1)))(feat, flow)
+    _check(f"{tag} dfeat", gp[0], gg[0], tol)
+    # dflow multiplies feature-differences by cotangents: wider dynamic
+    # range, so slightly looser in bf16.
+    _check(f"{tag} dflow", gp[1], gg[1],
+           tol * (4.0 if dtype == jnp.bfloat16 else 1.0))
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    assert jax.default_backend() != "cpu", (
+        "parity check must run on the real TPU (compiled kernels); "
+        "CPU interpret-mode parity is covered by the unit tests")
+
+    # PWC level-2 (64x64 input -> level-2 features 16x16x64) and the
+    # smallest pyramid level; one bigger realistic shape for tiling stress.
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        check_correlation((4, 16, 16, 64), dtype, tol)
+        check_correlation((4, 8, 8, 96), dtype, tol)
+    # encoder warp shape (512ch 48x48, the hot path) + a PWC-level shape
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        check_warp((2, 48, 48, 512), dtype, tol)
+        check_warp((2, 16, 16, 64), dtype, tol)
+
+    if FAILURES:
+        print(f"FAILED: {FAILURES}")
+        sys.exit(1)
+    print("ALL PARITY CHECKS PASSED (compiled TPU kernels)")
+
+
+if __name__ == "__main__":
+    main()
