@@ -42,6 +42,83 @@ BATCH = 8
 BURST_N = 14
 ITERS = 32
 
+# Training-step metric (reference publishes no training throughput either;
+# nominal estimate for the reference's B=16 bf16-equivalent train step on a
+# contemporary GPU incl. its CPU-worker synthesis pipeline).
+REFERENCE_NOMINAL_TRAIN_BURSTS_PER_SEC = 8.0
+TRAIN_BATCH = 16
+TRAIN_ITERS = 8
+
+
+def bench_train_step():
+    """Full train step: on-device fused synthesis -> DBSR fwd+bwd
+    (train_alignment=True, bf16 compute, s2d decoder) -> Adam. Same
+    methodology as the eval loop (device-side fori_loop, scalar-fetch
+    sync, best of 3 distinct inputs)."""
+    import optax
+
+    from dbsr_tpu.data.synthetic import BurstConfig, synthesize_batch
+    from dbsr_tpu.training.actors import make_synthetic_actor
+
+    cfg = BurstConfig(burst_size=8, crop_sz=(384, 384), downsample_factor=4,
+                      border_crop=24, max_translation=24.0, max_rotation=1.0,
+                      fused_resample=True)
+    # train_alignment=False matches the reference training protocol: the
+    # flow net is pretrained and FROZEN in the flagship synthetic run
+    # (reference dbsrnet.py:44 default train_alignmentnet=False, not
+    # overridden by train_settings/dbsr/default_synthetic.py:73). The
+    # zero-egress configs may train it end-to-end (no pretrained weights),
+    # but the apples-to-apples step cost is the frozen-PWC one.
+    net = dbsrnet_cvpr2021(train_alignment=False, dtype=jnp.bfloat16,
+                           fused_s2d_decoder=True)
+    actor = make_synthetic_actor(net, boundary_ignore=40)
+    tx = optax.adam(1e-4)
+
+    crops0 = jax.random.uniform(
+        jax.random.key(0), (TRAIN_BATCH,) + cfg.pre_crop_sz + (3,),
+        jnp.float32)
+    params = net.init(jax.random.key(1),
+                      jnp.zeros((1, cfg.burst_size) + cfg.burst_hw + (4,)))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def loop(params, opt_state, crops):
+        def body(i, carry):
+            params, opt_state, acc = carry
+            key = jax.random.fold_in(jax.random.key(42), i)
+            batch = synthesize_batch(key, crops * (1.0 + 1e-6 * i), cfg)
+
+            def loss_fn(p):
+                loss, _ = actor(p, batch)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, acc + loss
+
+        return jax.lax.fori_loop(0, TRAIN_ITERS, body,
+                                 (params, opt_state, jnp.float32(0.0)))
+
+    warm = jax.random.uniform(jax.random.key(2), crops0.shape, jnp.float32)
+    float(loop(params, opt_state, warm)[2])
+
+    best = float("inf")
+    for k in range(3, 6):
+        crops = jax.random.uniform(jax.random.key(k), crops0.shape,
+                                   jnp.float32)
+        t0 = time.perf_counter()
+        float(loop(params, opt_state, crops)[2])
+        best = min(best, time.perf_counter() - t0)
+
+    bursts_per_sec = TRAIN_BATCH * TRAIN_ITERS / best
+    print(json.dumps({
+        "metric": "synthetic_train_step_throughput",
+        "value": round(bursts_per_sec, 3),
+        "unit": "bursts/sec/chip",
+        "vs_baseline": round(
+            bursts_per_sec / REFERENCE_NOMINAL_TRAIN_BURSTS_PER_SEC, 3),
+    }), flush=True)
+
 
 def main():
     net = dbsrnet_cvpr2021(fused_s2d_decoder=True)
@@ -93,4 +170,7 @@ def main():
 
 
 if __name__ == "__main__":
+    # train metric first; the eval-forward line stays LAST (the driver
+    # parses the final JSON line — unchanged metric since round 1)
+    bench_train_step()
     main()

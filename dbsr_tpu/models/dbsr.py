@@ -193,11 +193,17 @@ class WeightedSumMerge(nn.Module):
 
         if self.softmax:
             weights = jax.nn.softmax(logits, axis=1)
+            # One-pass Pallas softmax-sum on TPU (ops/merge_pallas.py):
+            # avoids materializing [B, N, h, w, C] weights to HBM. The
+            # `weights` expression above still defines `fusion_weights`;
+            # when the caller ignores it (training) XLA dead-code-
+            # eliminates the separate softmax entirely.
+            from dbsr_tpu.ops.merge_pallas import merge_auto
+            fused = merge_auto(all_feat, logits)
         else:
             w = nn.relu(logits)
             weights = w / (w.sum(axis=1, keepdims=True) + 1e-12)
-
-        fused = (all_feat * weights).sum(axis=1)
+            fused = (all_feat * weights).sum(axis=1)
         return {"fused_enc": fused, "fusion_weights": weights}
 
 

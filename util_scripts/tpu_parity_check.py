@@ -6,6 +6,9 @@ Asserts, on compiled (non-interpret) TPU kernels:
      ``external/pwcnet/correlation/correlation.py:35-233``).
   2. ``warp_pallas`` fwd + bwd == the gather-based ``ops.interp.warp`` VJP,
      f32/bf16, at the encoder shape (512ch 48x48) and a PWC feature shape.
+  3. ``fused_softmax_merge`` fwd + bwd == the XLA softmax-weighted-sum,
+     f32/bf16, at the eval (N=14) and train (N=8) fusion shapes
+     (reference ``models/dbsr/merging.py:117-124``).
 
 Interpret-mode CPU tests (tests/test_correlation.py, tests/test_warp_pallas.py)
 do not validate tiling/VMEM layout/bf16 accumulation of the real kernels —
@@ -27,6 +30,8 @@ sys.path.insert(0, ".")
 
 from dbsr_tpu.ops.correlation import correlation_pallas, correlation_xla
 from dbsr_tpu.ops.interp import warp as warp_gather
+from dbsr_tpu.ops.merge_pallas import (fused_softmax_merge,
+                                       fused_softmax_merge_xla)
 from dbsr_tpu.ops.warp_pallas import warp_pallas
 
 FAILURES = []
@@ -97,6 +102,31 @@ def check_warp(feat_shape, dtype, tol):
            tol * (4.0 if dtype == jnp.bfloat16 else 1.0))
 
 
+def check_merge(shape, dtype, tol):
+    B, N, H, W, C = shape
+    tag = f"merge {shape} {jnp.dtype(dtype).name}"
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    feat = jax.random.normal(k1, shape, jnp.float32).astype(dtype)
+    logits = (3.0 * jax.random.normal(k2, shape, jnp.float32)).astype(dtype)
+
+    out_p = jax.jit(fused_softmax_merge)(feat, logits)
+    out_x = jax.jit(fused_softmax_merge_xla)(feat, logits)
+    _check(f"{tag} fwd", out_p, out_x, tol)
+
+    cot = jax.random.normal(k3, out_x.shape, jnp.float32).astype(dtype)
+
+    gp = jax.jit(jax.grad(
+        lambda f, l: (fused_softmax_merge(f, l).astype(jnp.float32)
+                      * cot.astype(jnp.float32)).sum(),
+        argnums=(0, 1)))(feat, logits)
+    gx = jax.jit(jax.grad(
+        lambda f, l: (fused_softmax_merge_xla(f, l).astype(jnp.float32)
+                      * cot.astype(jnp.float32)).sum(),
+        argnums=(0, 1)))(feat, logits)
+    _check(f"{tag} dfeat", gp[0], gx[0], tol)
+    _check(f"{tag} dlogits", gp[1], gx[1], tol)
+
+
 def main():
     print(f"devices: {jax.devices()}")
     assert jax.default_backend() != "cpu", (
@@ -112,6 +142,10 @@ def main():
     for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
         check_warp((2, 48, 48, 512), dtype, tol)
         check_warp((2, 16, 16, 64), dtype, tol)
+    # fused softmax-merge at eval (N=14) and train (N=8) fusion shapes
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        check_merge((2, 14, 48, 48, 512), dtype, tol)
+        check_merge((2, 8, 48, 48, 512), dtype, tol)
 
     if FAILURES:
         print(f"FAILED: {FAILURES}")
