@@ -152,12 +152,11 @@ def _lr_frame(image: jax.Array, tmat: jax.Array, cfg: BurstConfig):
     if cfg.fused_resample:
         out_hw = ((H - 2 * b) // d, (W - 2 * b) // d)
         # LR pixel q samples the cropped fine grid at (q+0.5)*d - 0.5,
-        # offset by the border crop, then through the inverse affine.
+        # offset by the border crop, then through the inverse affine
+        # (elementwise — see apply_affine_to_points precision note).
         q = interp.base_grid(*out_hw)
         fine = (q + 0.5) * d - 0.5 + b
-        ones = jnp.ones(fine.shape[:-1] + (1,), fine.dtype)
-        coords = jnp.einsum("ij,hwj->hwi", inv,
-                            jnp.concatenate([fine, ones], axis=-1))
+        coords = interp.apply_affine_to_points(inv, fine)
         lr = interp.sample_bilinear(image, coords, "zeros")
         pos_inv_lr = coords / d
         return lr, pos_inv_lr
@@ -201,7 +200,29 @@ def single2lrburst(key: jax.Array, image: jax.Array, cfg: BurstConfig):
     )(oth_keys)
 
     tmats = jnp.concatenate([ref_tmat[None], oth_tmats], axis=0)
-    lr, pos_inv = jax.vmap(lambda t: _lr_frame(image, t, cfg))(tmats)
+
+    # Fused path with pure translation/rotation transforms: the bilinear
+    # sampling runs in the gather-free Pallas band kernel (one batched
+    # call over frames; ops/resample_pallas.py — the XLA gather
+    # formulation is ~9 cycles/index and dominated the train step). Flow
+    # grids stay exact XLA arithmetic either way.
+    rotation_only = (cfg.max_shear == 0.0 and cfg.max_scale == 0.0
+                     and cfg.max_ar_factor == 0.0)
+    if cfg.fused_resample and rotation_only:
+        from dbsr_tpu.ops.resample_pallas import affine_resample
+
+        H, W = image.shape[-3], image.shape[-2]
+        b = cfg.border_crop
+        d = cfg.downsample_factor
+        out_hw = ((H - 2 * b) // d, (W - 2 * b) // d)
+        invs = jax.vmap(interp.invert_2x3)(tmats)            # [N, 2, 3]
+        lr = affine_resample(image, invs, out_hw, d, b,
+                             max_rotation_deg=max(cfg.max_rotation, 0.1))
+        q = interp.base_grid(*out_hw)
+        fine = (q + 0.5) * d - 0.5 + b
+        pos_inv = interp.apply_affine_to_points(invs, fine) / d
+    else:
+        lr, pos_inv = jax.vmap(lambda t: _lr_frame(image, t, cfg))(tmats)
     flow = pos_inv - pos_inv[:1]
     return lr, flow
 

@@ -1,11 +1,13 @@
-"""Result visualization: offline PNG panels instead of an interactive UI.
+"""Result visualization: PNG panels + an interactive HTML viewer.
 
 The reference ships an interactive OpenCV viewer
 (``utils/opencv_plotting.py:22-464``, ``evaluation/*/visualize_results.py``)
 with zoom/pan/toggle. Headless TPU pods have no display, so the TPU-native
-equivalent renders side-by-side comparison panels (base frame upsampled |
-prediction | ground truth, plus per-image PSNR in the filename) to PNG
-files for offline inspection or TensorBoard upload.
+equivalent renders (a) side-by-side comparison panels (base frame upsampled
+| prediction | ground truth, per-image PSNR in the filename) to PNG files,
+and (b) a dependency-free ``index.html`` with the interactive affordances
+of the reference viewer — wheel zoom, drag pan, per-pane toggle, burst
+navigation (``evaluation/html_viewer.py``) — usable over ``file://``.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dbsr_tpu.data.datasets import SyntheticBurstVal
+from dbsr_tpu.evaluation.html_viewer import write_viewer
 from dbsr_tpu.evaluation.network_param import NetworkParam
 from dbsr_tpu.ops import metrics as M
 from dbsr_tpu.ops.camera import process_linear_image_rgb, demosaic_naive
@@ -43,8 +46,10 @@ def visualize_synburst(network_params: List[NetworkParam],
                        dataset_root: str, out_dir: str,
                        workspace_dir: str = "",
                        max_bursts: int = 10,
-                       boundary_ignore: int = 40) -> None:
-    dataset = SyntheticBurstVal(dataset_root)
+                       boundary_ignore: int = 40,
+                       dataset=None) -> None:
+    dataset = dataset if dataset is not None \
+        else SyntheticBurstVal(dataset_root)
     os.makedirs(out_dir, exist_ok=True)
     for n in network_params:
         net, params, _ = n.load_net(workspace_dir)
@@ -56,6 +61,7 @@ def visualize_synburst(network_params: List[NetworkParam],
 
         d = os.path.join(out_dir, n.get_unique_name())
         os.makedirs(d, exist_ok=True)
+        entries = []
         for idx in range(min(max_bursts, len(dataset))):
             burst, gt, meta = dataset[idx]
             b = burst[:n.burst_sz] if n.burst_sz else burst
@@ -65,15 +71,27 @@ def visualize_synburst(network_params: List[NetworkParam],
                                 boundary_ignore=boundary_ignore))
 
             base = np.asarray(demosaic_naive(jnp.asarray(burst[0])))
-            scale = gt.shape[0] // base.shape[0]
             base_up = np.asarray(resize_bilinear(
                 jnp.asarray(base), (gt.shape[0], gt.shape[1])))
+
+            panes = {"base frame": base_up, "prediction": pred,
+                     "ground truth": gt}
+            name = meta["burst_name"]
+            entry = {"name": name, "info": f"PSNR {psnr:.2f} dB",
+                     "panes": {}}
+            for label, im in panes.items():
+                fn = f"{name}_{label.split()[0]}.png"
+                write_png(os.path.join(d, fn),
+                          _to_u8(_postprocess(im, meta)))
+                entry["panes"][label] = fn
+            entries.append(entry)
 
             panel = np.concatenate(
                 [_to_u8(_postprocess(x, meta)) for x in
                  (base_up, pred, gt)], axis=1)
             write_png(os.path.join(
-                d, f"{meta['burst_name']}_psnr{psnr:.2f}.png"), panel)
+                d, f"{name}_psnr{psnr:.2f}.png"), panel)
+        write_viewer(d, f"synburst: {n.get_unique_name()}", entries)
 
 
 def visualize_burstsr(network_params, dataset_root: str, out_dir: str,
@@ -103,6 +121,7 @@ def visualize_burstsr(network_params, dataset_root: str, out_dir: str,
 
         d = os.path.join(out_dir, n.get_unique_name())
         os.makedirs(d, exist_ok=True)
+        entries = []
         for idx in range(min(max_bursts, len(dataset))):
             sample = dataset[idx]
             burst = jnp.asarray(sample["burst"][:n.burst_sz]
@@ -112,9 +131,21 @@ def visualize_burstsr(network_params, dataset_root: str, out_dir: str,
             base = np.asarray(demosaic_naive(burst[0]))
             base_up = np.asarray(resize_bilinear(
                 jnp.asarray(base), gt.shape[:2]))
+            name = sample["burst_name"]
+            panes = {"base frame": base_up,
+                     "aligned prediction": np.asarray(pred_m),
+                     "DSLR ground truth": np.asarray(gt)}
+            entry = {"name": name,
+                     "info": f"aligned PSNR {float(psnr):.2f} dB",
+                     "panes": {}}
+            for label, im in panes.items():
+                fn = f"{name}_{label.split()[0]}.png"
+                write_png(os.path.join(d, fn), _to_u8(im))
+                entry["panes"][label] = fn
+            entries.append(entry)
             panel = np.concatenate(
                 [_to_u8(x) for x in (base_up, np.asarray(pred_m),
                                      np.asarray(gt))], axis=1)
             write_png(os.path.join(
-                d, f"{sample['burst_name']}_apsnr{float(psnr):.2f}.png"),
-                panel)
+                d, f"{name}_apsnr{float(psnr):.2f}.png"), panel)
+        write_viewer(d, f"burstsr: {n.get_unique_name()}", entries)

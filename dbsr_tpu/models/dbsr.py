@@ -53,6 +53,23 @@ class ResEncoder(nn.Module):
                          dtype=d)(x)
 
 
+class ConvFlow(nn.Module):
+    """Minimal learned flow stub (two convs -> 2-channel flow).
+
+    Drop-in replacement for PWC-Net when the full pyramid is overkill:
+    structural tests of alignment/sharding paths (PWC's shard_map compile
+    alone costs ~15 min on a 1-core CPU backend) and flow-net ablations.
+    Not a parity component."""
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, source_img, target_img):
+        x = jnp.concatenate([source_img, target_img], axis=-1)
+        x = ConvBlock(8, 3, activation="relu", dtype=self.dtype)(x)
+        return ConvBlock(2, 3, activation="none", dtype=self.dtype)(
+            x).astype(jnp.float32)
+
+
 class AlignedEncoder(nn.Module):
     """Encode burst frames and warp non-reference embeddings to the
     reference frame using PWC-Net flow (reference
@@ -62,7 +79,8 @@ class AlignedEncoder(nn.Module):
     ``oth_feat`` (flow-warped), and ``offsets`` ``[B, N-1, h, w, 2]``.
     When ``train_alignment`` is False the flow is computed under
     ``stop_gradient`` (the reference wraps the aligner in no_grad + eval,
-    ``encoders.py:56-61``).
+    ``encoders.py:56-61``). ``flow_net='conv'`` swaps PWC-Net for the
+    ``ConvFlow`` stub (tests/ablations only).
     """
     init_dim: int = 64
     num_res_blocks: int = 9
@@ -70,6 +88,7 @@ class AlignedEncoder(nn.Module):
     activation: str = "relu"
     train_alignment: bool = False
     dtype: Any = None
+    flow_net: str = "pwc"
 
     @nn.compact
     def __call__(self, burst):
@@ -81,7 +100,8 @@ class AlignedEncoder(nn.Module):
         ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
         oth = rgb[:, 1:]
 
-        flow = PWCNet(name="alignment_net", dtype=self.dtype)(
+        flow_cls = PWCNet if self.flow_net == "pwc" else ConvFlow
+        flow = flow_cls(name="alignment_net", dtype=self.dtype)(
             _flatten_frames(oth), _flatten_frames(ref))
         if not self.train_alignment:
             flow = jax.lax.stop_gradient(flow)
@@ -284,13 +304,14 @@ class DBSRNet(nn.Module):
     train_alignment: bool = False
     dtype: Any = None  # compute dtype; None = promote (f32 params -> f32)
     fused_s2d_decoder: bool = False
+    flow_net: str = "pwc"  # 'conv' = ConvFlow stub (tests/ablations)
 
     @nn.compact
     def __call__(self, burst):
         enc = AlignedEncoder(
             self.enc_init_dim, self.enc_num_res_blocks, self.enc_out_dim,
             self.activation, self.train_alignment, self.dtype,
-            name="encoder")(burst)
+            self.flow_net, name="encoder")(burst)
         merged = WeightedSumMerge(
             self.enc_out_dim, self.weight_pred_proj_dim,
             self.offset_feat_dim, self.num_offset_feat_extractor_res,

@@ -47,9 +47,11 @@ def _alex_features(x, weights):
     for i, (ch, k, s, p) in enumerate(_ALEX_CONVS):
         w = weights[f"conv{i}_w"]  # [kh, kw, in, out]
         b = weights[f"conv{i}_b"]
+        # HIGHEST: the reported metric must be exact f32 on TPU
         x = jax.lax.conv_general_dilated(
             x, w, (s, s), [(p, p), (p, p)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST) + b
         x = jax.nn.relu(x)
         taps.append(x)
         if i in (0, 1):
@@ -80,7 +82,8 @@ def lpips_distance(pred, gt, weights, boundary_ignore: Optional[int] = None):
         lin = weights[f"lin{i}_w"]  # [1, 1, C, 1], non-negative
         d = jax.lax.conv_general_dilated(
             d, lin, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
         total = total + d.mean(axis=(1, 2, 3))
     return total.mean()
 

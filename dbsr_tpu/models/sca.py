@@ -49,13 +49,17 @@ def match_colors(im_ref: jax.Array, im_q: jax.Array, im_test: jax.Array,
         # min ||a @ c - b|| via normal equations: c = (A^T A + eps)^-1 A^T B.
         # The system is 3x3 and well-conditioned for smoothed image stats;
         # this avoids jnp.linalg.lstsq's SVD, which lowers poorly on TPU.
-        ata = a.T @ a + 1e-6 * jnp.eye(3, dtype=a.dtype)
-        atb = a.T @ b
+        hi = jax.lax.Precision.HIGHEST  # exact f32 on the TPU MXU
+        ata = jnp.matmul(a.T, a, precision=hi) \
+            + 1e-6 * jnp.eye(3, dtype=a.dtype)
+        atb = jnp.matmul(a.T, b, precision=hi)
         return jnp.linalg.solve(ata, atb)
 
     c_mat = jax.vmap(solve)(q_f, ref_f)  # [B, 3, 3]
 
-    q_conv = jnp.einsum("bnc,bcd->bnd", q_f, c_mat).reshape(ref_s.shape)
+    hi = jax.lax.Precision.HIGHEST
+    q_conv = jnp.einsum("bnc,bcd->bnd", q_f, c_mat,
+                        precision=hi).reshape(ref_s.shape)
     err = jnp.linalg.norm((q_conv - ref_s) * 255.0, axis=-1)  # [B, h', w']
     valid = (err < err_thresh).astype(jnp.float32)[..., None]
 
@@ -65,7 +69,8 @@ def match_colors(im_ref: jax.Array, im_q: jax.Array, im_test: jax.Array,
     valid = valid > 0.9
 
     test_f = im_test.reshape(B, -1, 3)
-    test_conv = jnp.einsum("bnc,bcd->bnd", test_f, c_mat).reshape(
+    test_conv = jnp.einsum("bnc,bcd->bnd", test_f, c_mat,
+                           precision=jax.lax.Precision.HIGHEST).reshape(
         im_test.shape)
     return test_conv, valid
 

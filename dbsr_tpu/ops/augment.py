@@ -16,8 +16,12 @@ import jax.numpy as jnp
 
 
 def _compose(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Compose two [..., 3, 3] homogeneous matrices."""
-    return jnp.matmul(a, b)
+    """Compose two [..., 3, 3] homogeneous matrices.
+
+    HIGHEST precision: TPU MXU DEFAULT truncates f32 to bf16, and affine
+    entries carry pixel-scale translations (bf16 ulp at 400 is 2 px).
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def _homo(m2x3: jax.Array) -> jax.Array:

@@ -67,7 +67,8 @@ def random_ccm(key: jax.Array) -> jax.Array:
     """
     weights = jax.random.uniform(key, (4, 1, 1))
     xyz2cam = (XYZ2CAMS * weights).sum(axis=0) / weights.sum()
-    rgb2cam = xyz2cam @ RGB2XYZ
+    rgb2cam = jnp.matmul(xyz2cam, RGB2XYZ,
+                         precision=jax.lax.Precision.HIGHEST)
     return rgb2cam / rgb2cam.sum(axis=-1, keepdims=True)
 
 
@@ -111,7 +112,10 @@ def apply_ccm(image: jax.Array, ccm: jax.Array) -> jax.Array:
     ``ccm`` may carry leading batch dims (``[..., 3, 3]``) matching the
     image's leading dims.
     """
-    return jnp.einsum("...ij,...hwj->...hwi", ccm, image)
+    # HIGHEST: keep the color transform exact f32 on TPU (MXU DEFAULT
+    # would truncate both CCM entries and pixel values to bf16)
+    return jnp.einsum("...ij,...hwj->...hwi", ccm, image,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def apply_gains(image: jax.Array, rgb_gain, red_gain, blue_gain) -> jax.Array:

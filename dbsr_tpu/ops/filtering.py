@@ -70,5 +70,6 @@ def apply_kernel(im: jax.Array, kernel: jax.Array) -> jax.Array:
                             (kh, kw, 1, C))
     out = jax.lax.conv_general_dilated(
         x, kern, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST)
     return out.reshape(lead + (H, W, C))

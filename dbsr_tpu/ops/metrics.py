@@ -126,9 +126,11 @@ def _depthwise_valid_conv(x: jax.Array, kernel2d: jax.Array) -> jax.Array:
     kh, kw = kernel2d.shape
     kern = jnp.broadcast_to(kernel2d[:, :, None, None].astype(x.dtype),
                             (kh, kw, 1, C))
+    # HIGHEST: metric windows must be exact f32 on TPU (protocol math)
     return jax.lax.conv_general_dilated(
         x, kern, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(pred: jax.Array, gt: jax.Array, window_size: int = 11,

@@ -124,7 +124,7 @@ def dbsr_apply_frame_sharded(net, params, burst: jax.Array, mesh: Mesh,
 
     enc_mod = AlignedEncoder(net.enc_init_dim, net.enc_num_res_blocks,
                              net.enc_out_dim, net.activation,
-                             net.train_alignment, net.dtype)
+                             net.train_alignment, net.dtype, net.flow_net)
     merge_mod = WeightedSumMerge(
         net.enc_out_dim, net.weight_pred_proj_dim, net.offset_feat_dim,
         net.num_offset_feat_extractor_res, net.num_weight_predictor_res,

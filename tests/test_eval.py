@@ -114,3 +114,31 @@ def test_report_formatting():
         {"psnr": {"netA": 39.1, "netB": 38.2},
          "ssim": {"netA": 0.95, "netB": 0.94}})
     assert "netA" in rep and "psnr" in rep and "39.1" in rep
+
+
+def test_visualize_writes_panels_and_viewer(val_root, tiny_ckpt, tmp_path):
+    """Interactive-viewer parity (reference visualize_results.py +
+    opencv_plotting.py): per-pane PNGs and a self-contained index.html
+    with zoom/pan/toggle controls."""
+    from dbsr_tpu.evaluation.visualize import visualize_synburst
+
+    nets = [NetworkParam(checkpoint_path=tiny_ckpt, display_name="tiny")]
+    out = str(tmp_path / "vis")
+    visualize_synburst(nets, val_root, out, max_bursts=2,
+                       boundary_ignore=4, dataset=_dataset(val_root))
+    d = os.path.join(out, "tiny")
+    files = sorted(os.listdir(d))
+    assert "index.html" in files
+    pngs = [f for f in files if f.endswith(".png")]
+    # 2 bursts x (3 panes + 1 panel)
+    assert len(pngs) == 8
+    page = open(os.path.join(d, "index.html")).read()
+    assert "prediction" in page and "ground truth" in page
+    # panes referenced in the page exist on disk
+    import json as _json
+    data = _json.loads(page[page.index("const DATA = ") + 13:
+                            page.index(";\nlet bi")])
+    assert len(data) == 2
+    for e in data:
+        for rel in e["panes"].values():
+            assert os.path.exists(os.path.join(d, rel))

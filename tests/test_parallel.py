@@ -1,5 +1,7 @@
 """Mesh / sharding tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +70,15 @@ def test_data_parallel_psum_semantics():
                                rtol=1e-5)
 
 
+# The frame-sharding semantics under test — base frame counted once,
+# padding masks, psum-decomposed fusion, per-module param routing — are
+# independent of the flow net, and PWC-Net's shard_map compile alone costs
+# ~15 min PER TEST on the 1-core CPU backend (measured: 952 s + 935 s, 70%
+# of the whole suite). The default tests use the ConvFlow stub; the full
+# PWC-Net variant runs with DBSR_RUN_SLOW=1 (and on the TPU side via
+# DBSR_DRYRUN_2AXIS in __graft_entry__.dryrun_multichip).
+
+
 def test_dbsr_frame_sharded_matches_dense():
     """Model-level frame sharding: a 14-frame eval burst sharded over a
     4-way frame axis (13 others padded to 16) produces the SAME prediction
@@ -76,7 +87,7 @@ def test_dbsr_frame_sharded_matches_dense():
     from dbsr_tpu.parallel.frame_sharding import dbsr_apply_frame_sharded
 
     mesh = make_mesh(4, ("frame",), (4,))
-    net = dbsrnet_tiny(upsample_factor=4)
+    net = dbsrnet_tiny(upsample_factor=4, flow_net="conv")
     burst = jnp.asarray(
         np.random.RandomState(0).rand(2, 14, 8, 8, 4).astype(np.float32))
     params = net.init(jax.random.key(0), burst)
@@ -88,9 +99,27 @@ def test_dbsr_frame_sharded_matches_dense():
 
 
 def test_dbsr_frame_sharded_even_split():
-    """No-padding case: 5 frames -> 4 others over 2 shards (small mesh to
-    keep the cold-compile cost down; the padding path above is the general
-    one)."""
+    """No-padding case: 5 frames -> 4 others over 2 shards."""
+    from dbsr_tpu.models.dbsr import dbsrnet_tiny
+    from dbsr_tpu.parallel.frame_sharding import dbsr_apply_frame_sharded
+
+    mesh = make_mesh(2, ("frame",), (2,))
+    net = dbsrnet_tiny(upsample_factor=4, flow_net="conv")
+    burst = jnp.asarray(
+        np.random.RandomState(1).rand(1, 5, 8, 8, 4).astype(np.float32))
+    params = net.init(jax.random.key(0), burst)
+
+    dense, _ = net.apply(params, burst)
+    sharded = dbsr_apply_frame_sharded(net, params, burst, mesh, "frame")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               atol=2e-5)
+
+
+@pytest.mark.skipif(os.environ.get("DBSR_RUN_SLOW", "") in ("", "0"),
+                    reason="full-PWC shard_map compile ~15 min on 1-core "
+                           "CPU; set DBSR_RUN_SLOW=1")
+def test_dbsr_frame_sharded_full_pwc():
+    """Full-PWC variant of the frame-sharded equality (slow)."""
     from dbsr_tpu.models.dbsr import dbsrnet_tiny
     from dbsr_tpu.parallel.frame_sharding import dbsr_apply_frame_sharded
 

@@ -119,11 +119,15 @@ def main():
            timeit(gather_only, src, coords))
 
     # --- candidate gather formulations (A/B) ---------------------------
-    def sample_bilinear_slice2(im, coords):
-        """4 taps as ONE gather of a 2x2xC slice from a zero-padded source:
-        4x fewer gather indices, 4x bytes per transfer. Exact 'zeros'
-        semantics via the pad + per-tap weight masks."""
-        H, W = im.shape[-3], im.shape[-2]
+    # XLA lays gather operands with C on the lane dim (C=3 -> 42.7x pad
+    # expansion, seen in compile OOM dumps). Flattening (W, C) makes each
+    # 2-row x 2-tap x C patch a contiguous [2, 2*C] slice on a [B, H, W*C]
+    # operand whose lane dim is wide — one gather index per output pixel.
+    def sample_bilinear_rowslice(im, coords):
+        """Exact sample_bilinear('zeros') via ONE gather of a [2, 2C]
+        contiguous slice per output pixel from a 1-padded [B, H, W*C]
+        source."""
+        H, W, C = im.shape[-3], im.shape[-2], im.shape[-1]
         x = coords[..., 0].astype(jnp.float32)
         y = coords[..., 1].astype(jnp.float32)
         x0f = jnp.floor(x)
@@ -134,26 +138,27 @@ def main():
         y0 = y0f.astype(jnp.int32)
 
         imp = jnp.pad(im, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        ys = jnp.clip(y0 + 1, 0, H)   # slice start rows in padded frame
-        xs = jnp.clip(x0 + 1, 0, W)
-        starts = jnp.stack([ys, xs], axis=-1)  # [B, h, w, 2]
+        flat = imp.reshape(imp.shape[0], H + 2, (W + 2) * C)
+        ys = jnp.clip(y0 + 1, 0, H)          # [B, h, w]
+        xs = jnp.clip(x0 + 1, 0, W) * C
+        starts = jnp.stack([ys, xs], axis=-1)
         Bn, h, w = starts.shape[:3]
         starts_f = starts.reshape(Bn, h * w, 2)
 
         dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(2, 3, 4),
+            offset_dims=(2, 3),
             collapsed_slice_dims=(),
             start_index_map=(1, 2),
             operand_batching_dims=(0,),
             start_indices_batching_dims=(0,),
         )
         taps = jax.lax.gather(
-            imp, starts_f, dnums, slice_sizes=(1, 2, 2, im.shape[-1]),
+            flat, starts_f, dnums, slice_sizes=(1, 2, 2 * C),
             mode=jax.lax.GatherScatterMode.CLIP,
-        )  # [B, h*w, 2, 2, C]
-        taps = taps.reshape(Bn, h, w, 2, 2, im.shape[-1])
+        )  # [B, h*w, 2, 2C]
+        taps = taps.reshape(Bn, h, w, 2, 2, C)
 
-        out = jnp.zeros(taps.shape[:3] + taps.shape[-1:], im.dtype)
+        out = jnp.zeros(taps.shape[:3] + (C,), im.dtype)
         for dy, dx, wgt in ((0, 0, (1 - wy) * (1 - wx)),
                             (0, 1, (1 - wy) * wx),
                             (1, 0, wy * (1 - wx)),
@@ -165,11 +170,11 @@ def main():
             out = out + taps[:, :, :, dy, dx, :] * wgt[..., None]
         return out
 
-    def gather_slice2(i, src, coords):
-        out = sample_bilinear_slice2(src * (1 + 1e-6 * i), coords)
+    def gather_rowslice(i, src, coords):
+        out = sample_bilinear_rowslice(src * (1 + 1e-6 * i), coords)
         return out.sum()
-    report("slice2 gather 128x(96^2 from 432^2)",
-           timeit(gather_slice2, src, coords))
+    report("rowslice gather 128x(96^2 from 432^2)",
+           timeit(gather_rowslice, src, coords))
 
     srcb = src.astype(jnp.bfloat16)
 
@@ -178,6 +183,30 @@ def main():
                                      coords, "zeros")
         return out.astype(jnp.float32).sum()
     report("sample_bilinear bf16 source", timeit(gather_bf16, srcb, coords))
+
+    # Pallas band-resample kernel in isolation (same sampling shapes)
+    from dbsr_tpu.ops.resample_pallas import (_resample_prim,
+                                              band_rows_needed)
+    import math as _math
+    _rng = __import__("numpy").random.RandomState(3)
+    _invs = []
+    for _ in range(N):
+        th = _math.radians(_rng.uniform(-1, 1))
+        tx, ty = _rng.uniform(-24, 24, 2)
+        c_, s_ = _math.cos(th), _math.sin(th)
+        _invs.append([[c_, -s_, tx], [s_, c_, ty]])
+    _invs = jnp.asarray(_invs, jnp.float32)
+    _band = band_rows_needed(1.0, 4, 96)
+    src1 = jax.random.uniform(key, (B,) + cfg.pre_crop_sz + (3,),
+                              jnp.float32)
+
+    def band_kernel(i, src, invs):
+        out = jax.vmap(lambda im: _resample_prim(
+            im, invs, (96, 96), 4, 24, _band, "default"))(
+            src * (1 + 1e-6 * i))
+        return out.sum()
+    report("band-resample kernel 128x(96^2)",
+           timeit(band_kernel, src1, _invs))
 
     # strict (reference two-stage) synthesis for comparison
     cfg_strict = cfg._replace(fused_resample=False)

@@ -127,6 +127,42 @@ def check_merge(shape, dtype, tol):
     _check(f"{tag} dlogits", gp[1], gx[1], tol)
 
 
+def check_resample(dtype_tol_default, tol_highest):
+    """Affine band-resample kernel vs the gather oracle at the real
+    synthesis geometry (432^2 -> 96^2, x4, border 24, rotation <= 1 deg,
+    translation <= 24 px)."""
+    import math
+
+    import numpy as np
+
+    from dbsr_tpu.ops.resample_pallas import (_resample_prim, _xla_oracle,
+                                              band_rows_needed)
+
+    H = W = 432
+    d, border = 4, 24
+    out_hw = ((H - 2 * border) // d, (W - 2 * border) // d)
+    image = jax.random.uniform(jax.random.key(21), (H, W, 3), jnp.float32)
+    rng = np.random.RandomState(2)
+    invs = []
+    for _ in range(8):
+        th = math.radians(rng.uniform(-1.0, 1.0))
+        tx, ty = rng.uniform(-24, 24, size=2)
+        c, s = math.cos(th), math.sin(th)
+        invs.append([[c, -s, tx], [s, c, ty]])
+    invs = jnp.asarray(invs, jnp.float32)
+    band = band_rows_needed(1.0, d, out_hw[1])
+
+    want = jax.jit(lambda im, iv: _xla_oracle(im, iv, out_hw, d, border))(
+        image, invs)
+    got_h = jax.jit(lambda im, iv: _resample_prim(
+        im, iv, out_hw, d, border, band, "highest"))(image, invs)
+    _check("resample 432->96 highest", got_h, want, tol_highest)
+    got_d = jax.jit(lambda im, iv: _resample_prim(
+        im, iv, out_hw, d, border, band, "default"))(image, invs)
+    _check("resample 432->96 default(bf16 MXU)", got_d, want,
+           dtype_tol_default)
+
+
 def main():
     print(f"devices: {jax.devices()}")
     assert jax.default_backend() != "cpu", (
@@ -146,6 +182,8 @@ def main():
     for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
         check_merge((2, 14, 48, 48, 512), dtype, tol)
         check_merge((2, 8, 48, 48, 512), dtype, tol)
+    # affine band-resample (synthesis) kernel
+    check_resample(dtype_tol_default=2e-2, tol_highest=1e-5)
 
     if FAILURES:
         print(f"FAILED: {FAILURES}")
