@@ -26,8 +26,6 @@ to HBM in the forward):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -50,8 +50,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dbsr_tpu.ops import interp
 
-_LANE = 128
-
 
 def band_rows_needed(max_rotation_deg: float, downsample: int,
                      out_w: int) -> int:

@@ -37,8 +37,12 @@ TINY_CFG = BurstConfig(burst_size=3, crop_sz=(32, 32), downsample_factor=2,
                        border_crop=4, max_translation=3.0, max_rotation=0.5)
 
 
-def _make_trainer(tmp_path, mesh=None, batches_per_epoch=4, seed=0):
-    net = dbsrnet_tiny(upsample_factor=4)
+def _make_trainer(tmp_path, mesh=None, batches_per_epoch=4, seed=0,
+                  flow_net="conv"):
+    # runtime-plumbing tests use the ConvFlow stub: tracing/compiling the
+    # full PWC pyramid costs ~40 s per jitted step on the 1-core CPU
+    # backend and the trainer semantics do not depend on the flow net
+    net = dbsrnet_tiny(upsample_factor=4, flow_net=flow_net)
     actor = make_synthetic_actor(net, boundary_ignore=4)
     tx = make_optimizer(1e-3, 40, 0.2, steps_per_epoch=batches_per_epoch)
     sampler = RandomImageSampler([FakeImages()], [1.0],
@@ -59,7 +63,7 @@ def test_step_lr_schedule():
 
 
 def test_checkpoint_roundtrip(tmp_path):
-    net = dbsrnet_tiny(upsample_factor=4)
+    net = dbsrnet_tiny(upsample_factor=4, flow_net="conv")
     burst = jnp.zeros((1, 3) + TINY_CFG.burst_hw + (4,))
     params = net.init(jax.random.key(0), burst)
     tx = optax.adam(1e-4)
@@ -80,7 +84,7 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_checkpoint_rebuild_network(tmp_path):
     """Architecture reconstruction from the checkpoint alone (the
     NetConstructor capability)."""
-    net = dbsrnet_tiny(upsample_factor=4)
+    net = dbsrnet_tiny(upsample_factor=4, flow_net="conv")
     burst = jnp.zeros((1, 3) + TINY_CFG.burst_hw + (4,))
     params = net.init(jax.random.key(0), burst)
     state = TrainState.create(params, optax.adam(1e-4))
@@ -94,7 +98,7 @@ def test_checkpoint_rebuild_network(tmp_path):
 
 
 def test_checkpoint_resolution_by_epoch(tmp_path):
-    net = dbsrnet_tiny(upsample_factor=4)
+    net = dbsrnet_tiny(upsample_factor=4, flow_net="conv")
     burst = jnp.zeros((1, 3) + TINY_CFG.burst_hw + (4,))
     state = TrainState.create(net.init(jax.random.key(0), burst),
                               optax.adam(1e-4))
@@ -108,7 +112,8 @@ def test_checkpoint_resolution_by_epoch(tmp_path):
 
 
 def test_training_decreases_loss(tmp_path):
-    trainer = _make_trainer(tmp_path, batches_per_epoch=8)
+    # full net (real PWC flow): the one end-to-end learning check
+    trainer = _make_trainer(tmp_path, batches_per_epoch=8, flow_net="pwc")
     state = trainer.train(3, load_latest=False, fail_safe=False)
     meter = trainer.stats["train"]["Loss/total"]
     first = meter.history[0]  # epoch-1 average (archived at epoch roll)
@@ -163,7 +168,8 @@ def test_val_loader_epoch_interval(tmp_path):
 
 def test_checkpoint_roundtrip_with_dtype(tmp_path):
     """dtype fields (jnp.bfloat16) survive the JSON network spec."""
-    net = dbsrnet_tiny(upsample_factor=4, dtype=jnp.bfloat16)
+    net = dbsrnet_tiny(upsample_factor=4, dtype=jnp.bfloat16,
+                       flow_net="conv")
     burst = jnp.zeros((1, 3) + TINY_CFG.burst_hw + (4,))
     params = net.init(jax.random.key(0), burst)
     state = TrainState.create(params, optax.adam(1e-4))
