@@ -138,7 +138,7 @@ class CropBatcher:
     def __init__(self, sampler, batch_size: int, crop_sz: Tuple[int, int],
                  scale_range=None, ar_range=None, random_flip: bool = True,
                  random_crop: bool = True, brightness_jitter: float = 0.0,
-                 seed: int = 0):
+                 seed: int = 0, transfer_dtype: str = "uint8"):
         self.sampler = sampler
         self.batch_size = batch_size
         self.crop_sz = crop_sz
@@ -149,6 +149,7 @@ class CropBatcher:
         # ToTensorAndJitter's brightness factor (reference
         # data/transforms.py; the shipped configs use 0.0)
         self.brightness_jitter = brightness_jitter
+        self.transfer_dtype = transfer_dtype
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -173,7 +174,18 @@ class CropBatcher:
             else:
                 crop = center_crop(frame, self.crop_sz)
             crops.append(np.ascontiguousarray(crop, np.float32))
-        return np.stack(crops)
+        batch = np.stack(crops)
+        if self.transfer_dtype == "uint8":
+            # Ship crops to the device as uint8 (4x fewer bytes; the
+            # device side casts back to f32/255). Quantization is in
+            # 8-bit sRGB space — the source JPEGs' own precision, noise
+            # ~1.1e-3 against a ~59 dB ceiling, far below the synthetic
+            # shot/read noise. Matters on relays where every
+            # host->device transfer's bytes are retained client-side
+            # (see PERF.md "host-feed memory" note).
+            return (np.clip(batch, 0.0, 1.0) * 255.0 + 0.5).astype(
+                np.uint8)
+        return batch
 
 
 class DevicePrefetcher:

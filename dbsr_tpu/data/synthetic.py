@@ -221,6 +221,30 @@ def single2lrburst(key: jax.Array, image: jax.Array, cfg: BurstConfig):
         q = interp.base_grid(*out_hw)
         fine = (q + 0.5) * d - 0.5 + b
         pos_inv = interp.apply_affine_to_points(invs, fine) / d
+    elif rotation_only:
+        # STRICT two-stage chain (reference parity: full-res warp ->
+        # border crop -> x4 bilinear resize), with the full-res warp in
+        # the same band kernel at d=1 (HIGHEST precision = exact f32,
+        # identical samples to warp_affine; the XLA gather ran ~850 ms of
+        # a B=16 step). Falls back to gathers automatically off-TPU.
+        from dbsr_tpu.ops.resample_pallas import affine_resample
+
+        H, W = image.shape[-3], image.shape[-2]
+        b = cfg.border_crop
+        d = cfg.downsample_factor
+        out_hw = ((H - 2 * b) // d, (W - 2 * b) // d)
+        invs = jax.vmap(interp.invert_2x3)(tmats)
+        warped = affine_resample(
+            image, invs, (H, W), 1, 0,
+            max_rotation_deg=max(cfg.max_rotation, 0.1),
+            precision="highest")
+        grid = interp.base_grid(H, W)
+        pos_inv = interp.apply_affine_to_points(invs, grid)
+        if b > 0:
+            warped = warped[:, b:-b, b:-b, :]
+            pos_inv = pos_inv[:, b:-b, b:-b, :]
+        lr = interp.resize_bilinear(warped, out_hw)
+        pos_inv = interp.resize_bilinear(pos_inv, out_hw) / d
     else:
         lr, pos_inv = jax.vmap(lambda t: _lr_frame(image, t, cfg))(tmats)
     flow = pos_inv - pos_inv[:1]

@@ -95,8 +95,17 @@ class Trainer:
         prepare = self.prepare_fn or (
             lambda key, crops: synthesize_batch(key, crops, cfg))
 
+        def _as_float(crops):
+            """Crops arrive as uint8 by default (CropBatcher
+            transfer_dtype): 4x fewer host->device bytes, normalized back
+            to [0, 1] f32 on device."""
+            if jax.tree_util.tree_leaves(crops)[0].dtype == jnp.uint8:
+                return jax.tree.map(
+                    lambda x: x.astype(jnp.float32) / 255.0, crops)
+            return crops
+
         def train_step(state: TrainState, key, crops):
-            batch = prepare(key, crops)
+            batch = prepare(key, _as_float(crops))
 
             def loss_fn(p):
                 return actor(p, batch)
@@ -111,7 +120,7 @@ class Trainer:
             return new_state, stats
 
         def eval_step(state: TrainState, key, crops):
-            batch = prepare(key, crops)
+            batch = prepare(key, _as_float(crops))
             _, stats = actor(state.params, batch)
             return stats
 

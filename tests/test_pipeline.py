@@ -78,9 +78,15 @@ def test_crop_batcher_batches():
     b = CropBatcher(s, batch_size=4, crop_sz=(32, 32))
     batch = b.next_batch()
     assert batch.shape == (4, 32, 32, 3)
-    assert batch.dtype == np.float32
-    assert 0.0 <= batch.min() and batch.max() <= 1.0
+    # default transfer dtype is uint8 (4x fewer host->device bytes)
+    assert batch.dtype == np.uint8
     assert len(b) == 2
+
+    bf = CropBatcher(s, batch_size=2, crop_sz=(32, 32),
+                     transfer_dtype="float32")
+    fbatch = bf.next_batch()
+    assert fbatch.dtype == np.float32
+    assert 0.0 <= fbatch.min() and fbatch.max() <= 1.0
 
 
 def test_prefetcher_yields_all_batches():

@@ -65,10 +65,19 @@ def procedural_pool(n, hw, seed):
 
     import jax
 
+    # chunked + vmapped: 288 individual device calls through the relay
+    # proved stall-prone (high per-call latency, one observed wedge);
+    # 9 batched calls with per-chunk progress prints are robust.
+    chunk = 32
+    make_v = jax.jit(jax.vmap(make))
     pool = np.empty((n, H, W, 3), np.uint8)
-    for i in range(n):
-        im = np.asarray(make(jax.random.key(seed * 100003 + i)))
-        pool[i] = np.clip(im * 255.0, 0, 255).astype(np.uint8)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        keys = jnp.stack([jax.random.key(seed * 100003 + i)
+                          for i in range(lo, hi)])
+        ims = np.asarray(make_v(keys))
+        pool[lo:hi] = np.clip(ims * 255.0, 0, 255).astype(np.uint8)
+        print(f"  pool {hi}/{n}", flush=True)
     return pool
 
 
@@ -142,9 +151,14 @@ def main():
         rng = np.random.RandomState(0)  # SAME batch order for both runs
         history = []
         t0 = time.time()
+        # The axon relay client leaks EVERY host->device transfer's bytes
+        # (measured 35.6 MB/step at f32 B=16 — OOM-killed a 2x2000-step
+        # run at 130 GB RSS). Stage the pool in HBM once and index
+        # on-device per step (leak ~0.1 MB/step).
+        pool_dev = jnp.asarray(pool.astype(np.float32) / 255.0)
         for step in range(1, args.steps + 1):
-            idx = rng.randint(0, args.pool, size=args.batch)
-            crops = jnp.asarray(pool[idx].astype(np.float32) / 255.0)
+            idx = jnp.asarray(rng.randint(0, args.pool, size=args.batch))
+            crops = jnp.take(pool_dev, idx, axis=0)
             key = jax.random.fold_in(jax.random.key(123), step)
             params, opt_state, loss = train_step(params, opt_state, key,
                                                  crops)

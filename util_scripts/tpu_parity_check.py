@@ -162,6 +162,15 @@ def check_resample(dtype_tol_default, tol_highest):
     _check("resample 432->96 default(bf16 MXU)", got_d, want,
            dtype_tol_default)
 
+    # strict-path geometry: full-res d=1 warp (synthetic.py strict branch)
+    band1 = band_rows_needed(1.0, 1, W)
+    invs2 = invs[:3]
+    want1 = jax.jit(lambda im, iv: _xla_oracle(im, iv, (H, W), 1, 0))(
+        image, invs2)
+    got1 = jax.jit(lambda im, iv: _resample_prim(
+        im, iv, (H, W), 1, 0, band1, "highest"))(image, invs2)
+    _check("resample 432 d=1 strict-warp highest", got1, want1, tol_highest)
+
 
 def main():
     print(f"devices: {jax.devices()}")
