@@ -42,6 +42,24 @@ BATCH = 8
 BURST_N = 14
 ITERS = 32
 
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. MFU below divides
+# realized FLOP/s (XLA HLO cost analysis of the stepped computation, i.e.
+# the FLOPs actually written, before backend fusion) by this peak.
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
+def _analytic_flops(fn, *args):
+    """FLOPs of one invocation from XLA's HLO cost analysis (lowered,
+    unoptimized module — no remote compile needed). None if unavailable."""
+    try:
+        ca = jax.jit(fn).lower(*args).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
 # Training-step metric (reference publishes no training throughput either;
 # nominal estimate for the reference's B=16 bf16-equivalent train step on a
 # contemporary GPU incl. its CPU-worker synthesis pipeline).
@@ -52,9 +70,10 @@ TRAIN_ITERS = 8
 
 def bench_train_step():
     """Full train step: on-device fused synthesis -> DBSR fwd+bwd
-    (train_alignment=True, bf16 compute, s2d decoder) -> Adam. Same
-    methodology as the eval loop (device-side fori_loop, scalar-fetch
-    sync, best of 3 distinct inputs)."""
+    (train_alignment=False — the reference's frozen-PWC protocol, see the
+    comment below — bf16 compute, s2d decoder) -> Adam. Same methodology
+    as the eval loop (device-side fori_loop, scalar-fetch sync, best of 3
+    distinct inputs)."""
     import optax
 
     from dbsr_tpu.data.synthetic import BurstConfig, synthesize_batch
@@ -111,13 +130,30 @@ def bench_train_step():
         best = min(best, time.perf_counter() - t0)
 
     bursts_per_sec = TRAIN_BATCH * TRAIN_ITERS / best
-    print(json.dumps({
+
+    def one_step(params, opt_state, crops):
+        batch = synthesize_batch(jax.random.key(7), crops, cfg)
+        loss, grads = jax.value_and_grad(
+            lambda p: actor(p, batch)[0])(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step_flops = _analytic_flops(one_step, params, opt_state, crops0)
+    mfu = None
+    if step_flops:
+        mfu = round(step_flops * TRAIN_ITERS / best
+                    / V5E_PEAK_BF16_FLOPS * 100, 2)
+    out = {
         "metric": "synthetic_train_step_throughput",
         "value": round(bursts_per_sec, 3),
         "unit": "bursts/sec/chip",
         "vs_baseline": round(
             bursts_per_sec / REFERENCE_NOMINAL_TRAIN_BURSTS_PER_SEC, 3),
-    }), flush=True)
+    }
+    if mfu is not None:
+        out["mfu_pct_v5e_bf16"] = mfu
+        out["step_tflops"] = round(step_flops / 1e12, 3)
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -161,12 +197,19 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     bursts_per_sec = BATCH * ITERS / best
-    print(json.dumps({
+    fwd_flops = _analytic_flops(lambda p, b: net.apply(p, b)[0], params,
+                                burst)
+    out = {
         "metric": "synburst_eval_forward_throughput",
         "value": round(bursts_per_sec, 3),
         "unit": "bursts/sec/chip",
         "vs_baseline": round(bursts_per_sec / REFERENCE_NOMINAL_BURSTS_PER_SEC, 3),
-    }))
+    }
+    if fwd_flops:
+        out["mfu_pct_v5e_bf16"] = round(
+            fwd_flops * ITERS / best / V5E_PEAK_BF16_FLOPS * 100, 2)
+        out["fwd_tflops"] = round(fwd_flops / 1e12, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -52,8 +52,10 @@ def run(settings):
         "Fine-tune DBSR on real-world BurstSR bursts with spatial-color-"
         "aligned supervision (TPU-native)")
     settings.batch_size = getattr(settings, "batch_size", 12)
-    settings.crop_sz = 56
-    settings.burst_sz = 8
+    settings.crop_sz = getattr(settings, "crop_sz", 56)
+    settings.burst_sz = getattr(settings, "burst_sz", 8)
+    steps_per_epoch = getattr(settings, "steps_per_epoch", 300)
+    epochs = getattr(settings, "epochs", 40)
 
     # restore the synthetic-trained model (architecture from checkpoint)
     syn_dir = os.path.join(settings.env.workspace_dir, "dbsr",
@@ -76,7 +78,7 @@ def run(settings):
 
     train_batcher = BurstBatcher(
         RandomBurstSampler(train_ds, burst_size=settings.burst_sz,
-                           samples_per_epoch=settings.batch_size * 300,
+                           samples_per_epoch=settings.batch_size * steps_per_epoch,
                            processing=proc_train),
         settings.batch_size)
     val_batcher = BurstBatcher(
@@ -89,10 +91,13 @@ def run(settings):
         LoaderSpec("val", val_batcher, training=False, epoch_interval=4),
     ]
 
-    sca = make_sca(_alignment_apply_from(pretrained_params), sr_factor=4)
+    # sr_factor: SR scale relative to the mosaiced LR (4 for real BurstSR;
+    # overridable so fixture-scale tests can drive this config end-to-end)
+    sr_factor = getattr(settings, "sr_factor", 4)
+    sca = make_sca(_alignment_apply_from(pretrained_params),
+                   sr_factor=sr_factor)
     actor = make_realworld_actor(net, sca, loss_weight=10.0)
 
-    steps_per_epoch = 300
     tx = make_optimizer(base_lr=1e-5, step_size_epochs=15, gamma=0.2,
                         steps_per_epoch=steps_per_epoch)
 
@@ -100,7 +105,8 @@ def run(settings):
         len(jax.devices()) > 1 else None
 
     cfg = BurstConfig(burst_size=settings.burst_sz,
-                      crop_sz=(settings.crop_sz * 8, settings.crop_sz * 8),
+                      crop_sz=(settings.crop_sz * 2 * sr_factor,
+                               settings.crop_sz * 2 * sr_factor),
                       downsample_factor=4, border_crop=0)
     workspace = os.path.join(settings.env.workspace_dir, "dbsr",
                              "default_realworld")
@@ -123,4 +129,4 @@ def run(settings):
         trainer.epoch = 0
         save_checkpoint(workspace, "dbsr_realworld", 0, state, net=net)
 
-    trainer.train(40, load_latest=True, fail_safe=True)
+    trainer.train(epochs, load_latest=True, fail_safe=True)

@@ -6,25 +6,123 @@ downsampling (24 px border crop, <=24 px translation, <=1 deg rotation),
 L1 loss with boundary_ignore=40, Adam 1e-4 with StepLR(40, 0.2),
 validation every 5 epochs on the Zurich test split.
 
+Training protocol matches the reference: the flow net is PRETRAINED and
+FROZEN (reference always loads downloaded PWC weights,
+``models/dbsr/dbsrnet.py:59-60``, and keeps ``train_alignmentnet=False``,
+``dbsrnet.py:44``). Zero-egress replacement: run
+``python run_training.py pwcnet pretrain_synthetic`` first — this config
+auto-detects its checkpoint, grafts it into ``encoder/alignment_net`` and
+freezes it. Without a pretrained flow checkpoint it falls back to training
+the aligner end-to-end (a protocol divergence, printed loudly).
+
 TPU-native differences: burst synthesis runs on device inside the jitted
 train step; data parallelism is a ``Mesh`` over all local devices instead
-of ``nn.DataParallel``; the flow net trains end-to-end by default when no
-pretrained PWC weights are available (the reference always loads pretrained
-weights downloaded in ``install.sh`` — zero-egress environments cannot).
+of ``nn.DataParallel``. When no Zurich data is staged, source imagery is
+procedural on-device dead-leaves (``data/procedural.py``) — zero host
+feed, zero downloads.
 """
 
 import os
 
 import jax
 
-from dbsr_tpu.data.datasets import ZurichRAW2RGB
-from dbsr_tpu.data.pipeline import CropBatcher, RandomImageSampler
-from dbsr_tpu.data.synthetic import BurstConfig
-from dbsr_tpu.models.dbsr import dbsrnet_cvpr2021
-from dbsr_tpu.parallel.mesh import make_mesh
-from dbsr_tpu.training.actors import make_synthetic_actor
-from dbsr_tpu.training.state import make_optimizer
-from dbsr_tpu.training.trainer import LoaderSpec, Trainer
+
+def make_data(settings, cfg, steps_per_epoch: int, val_batches: int = 200,
+              val_interval: int = 5):
+    """Build (loaders, prepare_fn, cast_uint8_inputs) for synthetic-burst
+    training: Zurich RGB crops when ``env.zurichraw2rgb_dir`` is staged
+    (reference data path), otherwise on-device procedural dead-leaves
+    pools. Shared by ``dbsr/default_synthetic`` and
+    ``pwcnet/pretrain_synthetic`` so both train on the same source
+    distribution."""
+    from dbsr_tpu.training.trainer import LoaderSpec
+
+    B = settings.batch_size
+    zdir = settings.env.zurichraw2rgb_dir
+    if zdir and os.path.isdir(zdir):
+        from dbsr_tpu.data.datasets import ZurichRAW2RGB
+        from dbsr_tpu.data.pipeline import CropBatcher, RandomImageSampler
+
+        train_ds = ZurichRAW2RGB(zdir, "train")
+        val_ds = ZurichRAW2RGB(zdir, "test")
+        train_batcher = CropBatcher(
+            RandomImageSampler([train_ds], [1.0],
+                               samples_per_epoch=B * steps_per_epoch),
+            B, cfg.pre_crop_sz, random_flip=True)
+        val_batcher = CropBatcher(
+            RandomImageSampler([val_ds], [1.0],
+                               samples_per_epoch=B * val_batches),
+            B, cfg.pre_crop_sz, random_flip=True, seed=1)
+        loaders = [
+            LoaderSpec("train", train_batcher, training=True),
+            LoaderSpec("val", val_batcher, training=False,
+                       epoch_interval=val_interval),
+        ]
+        return loaders, None, True
+
+    from dbsr_tpu.data.procedural import (ProceduralImagePool,
+                                          ProceduralPoolBatcher,
+                                          make_pool_prepare_fn)
+
+    print("NOTE: no Zurich data staged (env.zurichraw2rgb_dir empty) — "
+          "training on procedural dead-leaves source imagery "
+          "(dbsr_tpu/data/procedural.py)", flush=True)
+    pool_size = getattr(settings, "pool_size", 2048)
+    train_pool = ProceduralImagePool(pool_size, cfg.pre_crop_sz,
+                                     seed=getattr(settings, "seed", 0))
+    val_pool = ProceduralImagePool(max(pool_size // 8, 1), cfg.pre_crop_sz,
+                                   seed=getattr(settings, "seed", 0) + 999)
+    loaders = [
+        LoaderSpec("train",
+                   ProceduralPoolBatcher(train_pool, B, steps_per_epoch),
+                   training=True),
+        LoaderSpec("val",
+                   ProceduralPoolBatcher(val_pool, B, val_batches),
+                   training=False, epoch_interval=val_interval),
+    ]
+    return loaders, make_pool_prepare_fn(cfg, B), False
+
+
+def find_pretrained_flow(settings):
+    """Locate a pretrained flow checkpoint: ``settings.pwc_checkpoint``
+    override, else the latest ``pwcnet/pretrain_synthetic`` checkpoint in
+    the workspace (the reference's analog is the downloaded
+    ``pwcnet-network-default.pth``, ``install.sh:95-99``)."""
+    from dbsr_tpu.training.checkpoint import resolve_checkpoint
+
+    explicit = getattr(settings, "pwc_checkpoint", None)
+    if explicit:
+        return explicit
+    pwc_dir = os.path.join(settings.env.workspace_dir, "pwcnet",
+                           "pretrain_synthetic")
+    return resolve_checkpoint(pwc_dir, "pwcnet_synth")
+
+
+def graft_alignment_params(params, flow_ckpt_path: str):
+    """Graft a ``BurstFlowNet`` checkpoint's ``alignment_net`` subtree into
+    a DBSRNet parameter tree (``encoder/alignment_net``) — the reference's
+    ``load_state_dict`` of pretrained PWC weights
+    (``dbsrnet.py:59-60``)."""
+    from dbsr_tpu.training.checkpoint import load_checkpoint
+
+    _, raw = load_checkpoint(flow_ckpt_path)
+    sub = raw["params"]["params"]["alignment_net"]
+    out = dict(params)
+    out["params"] = dict(out["params"])
+    enc = dict(out["params"]["encoder"])
+    ref = enc["alignment_net"]
+    # shape-check against the freshly initialized subtree
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref)
+    sub_map = {jax.tree_util.keystr(p): v for p, v in
+               jax.tree_util.tree_leaves_with_path(sub)}
+    for path, leaf in ref_leaves:
+        k = jax.tree_util.keystr(path)
+        if k not in sub_map or sub_map[k].shape != leaf.shape:
+            raise ValueError(
+                f"pretrained flow checkpoint incompatible at {k}")
+    enc["alignment_net"] = jax.tree.map(lambda x: x, sub)
+    out["params"]["encoder"] = enc
+    return out
 
 
 def run(settings):
@@ -34,6 +132,17 @@ def run(settings):
     settings.batch_size = getattr(settings, "batch_size", 16)
     settings.multi_device = getattr(settings, "multi_device", True)
     settings.print_interval = getattr(settings, "print_interval", 50)
+    epochs = getattr(settings, "epochs", 100)
+    steps_per_epoch = getattr(settings, "steps_per_epoch", 1000)
+
+    from dbsr_tpu.data.synthetic import BurstConfig
+    from dbsr_tpu.models.dbsr import dbsrnet_cvpr2021
+    from dbsr_tpu.parallel.mesh import make_mesh
+    from dbsr_tpu.training.actors import make_synthetic_actor
+    from dbsr_tpu.training.checkpoint import (resolve_checkpoint,
+                                              save_checkpoint)
+    from dbsr_tpu.training.state import make_optimizer
+    from dbsr_tpu.training.trainer import Trainer
 
     cfg = BurstConfig(
         burst_size=8, crop_sz=(384, 384), downsample_factor=4,
@@ -47,28 +156,27 @@ def run(settings):
         fused_resample=getattr(settings, "fused_resample", True))
     settings.burst_cfg = cfg
 
-    train_ds = ZurichRAW2RGB(settings.env.zurichraw2rgb_dir, "train")
-    val_ds = ZurichRAW2RGB(settings.env.zurichraw2rgb_dir, "test")
-
-    steps_per_epoch = 1000
-    train_batcher = CropBatcher(
-        RandomImageSampler([train_ds], [1.0],
-                           samples_per_epoch=settings.batch_size * steps_per_epoch),
-        settings.batch_size, cfg.pre_crop_sz, random_flip=True)
-    val_batcher = CropBatcher(
-        RandomImageSampler([val_ds], [1.0],
-                           samples_per_epoch=settings.batch_size * 200),
-        settings.batch_size, cfg.pre_crop_sz, random_flip=True, seed=1)
-
-    loaders = [
-        LoaderSpec("train", train_batcher, training=True),
-        LoaderSpec("val", val_batcher, training=False, epoch_interval=5),
-    ]
+    loaders, prepare_fn, cast_uint8 = make_data(settings, cfg,
+                                                steps_per_epoch)
 
     import jax.numpy as jnp
     compute_dtype = getattr(settings, "compute_dtype", None)
     if compute_dtype == "bfloat16":
         compute_dtype = jnp.bfloat16
+
+    # Reference protocol: pretrained + frozen flow net when available
+    # (dbsrnet.py:44,59-60); end-to-end fallback otherwise.
+    flow_ckpt = find_pretrained_flow(settings)
+    train_alignment = getattr(settings, "train_alignment",
+                              flow_ckpt is None)
+    if flow_ckpt is None:
+        print("WARNING: no pretrained flow checkpoint found — training "
+              "the aligner end-to-end (reference protocol is "
+              "pretrained+frozen; run `python run_training.py pwcnet "
+              "pretrain_synthetic` first)", flush=True)
+    else:
+        print(f"using pretrained flow weights: {flow_ckpt} "
+              f"(train_alignment={train_alignment})", flush=True)
 
     net = dbsrnet_cvpr2021(
         enc_init_dim=64, enc_num_res_blocks=9, enc_out_dim=512,
@@ -77,7 +185,8 @@ def run(settings):
         upsample_factor=cfg.downsample_factor * 2,
         offset_feat_dim=64, weight_pred_proj_dim=64,
         num_weight_predictor_res=3, gauss_blur_sd=1.0, icnrinit=True,
-        train_alignment=getattr(settings, "train_alignment", True),
+        train_alignment=train_alignment,
+        fused_s2d_decoder=getattr(settings, "fused_s2d_decoder", True),
         dtype=compute_dtype)
 
     actor = make_synthetic_actor(net, loss_weight=1.0, boundary_ignore=40)
@@ -93,7 +202,20 @@ def run(settings):
                       net_name="dbsr_synthetic",
                       tensorboard_dir=os.path.join(
                           settings.env.tensorboard_dir, "dbsr",
-                          "default_synthetic"),
+                          "default_synthetic")
+                      if settings.env.tensorboard_dir else None,
                       mesh=mesh, print_interval=settings.print_interval,
-                      description=settings.description)
-    trainer.train(100, load_latest=True, fail_safe=True)
+                      description=settings.description,
+                      prepare_fn=prepare_fn, cast_uint8_inputs=cast_uint8)
+
+    # warm-start: graft pretrained flow weights when starting fresh
+    if flow_ckpt is not None and \
+            resolve_checkpoint(workspace, "dbsr_synthetic") is None:
+        state = trainer.init_state()
+        state = state.replace(
+            params=graft_alignment_params(state.params, flow_ckpt))
+        save_checkpoint(workspace, "dbsr_synthetic", 0, state, net=net)
+        print("grafted pretrained flow weights into encoder/alignment_net "
+              "(saved as epoch-0 checkpoint)", flush=True)
+
+    trainer.train(epochs, load_latest=True, fail_safe=True)

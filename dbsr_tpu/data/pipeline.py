@@ -150,7 +150,19 @@ class CropBatcher:
         # data/transforms.py; the shipped configs use 0.0)
         self.brightness_jitter = brightness_jitter
         self.transfer_dtype = transfer_dtype
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+
+    def fold_in_process(self, process_index: int) -> None:
+        """Decorrelate this batcher's random stream per host process.
+
+        Multi-host training assembles the global batch from each process's
+        local batches (``parallel/multihost.py``); with the same config
+        seed on every process the streams must be split or the global
+        batch holds duplicated crops. Called by the Trainer when
+        ``jax.process_count() > 1``.
+        """
+        self.rng = np.random.default_rng([self.seed, process_index])
 
     def __len__(self):
         return max(1, len(self.sampler) // self.batch_size)

@@ -134,6 +134,40 @@ class PWCFlowNet(nn.Module):
         return est["flow"] + Refiner(name="refiner", dtype=d)(est["feat"])
 
 
+class BurstFlowNet(nn.Module):
+    """Standalone burst->flow wrapper for PWC pretraining.
+
+    The reference always initializes DBSR's aligner from pretrained PWC
+    weights and keeps it frozen (``models/dbsr/dbsrnet.py:59-60`` +
+    ``install.sh`` download). Zero-egress environments can't download
+    those weights, but the synthesis pipeline emits EXACT dense flow
+    labels for free (``data/synthetic.py:single2lrburst``) — this module
+    reproduces the aligner's exact input contract (demosaiced packed
+    burst, frames 1..N-1 vs frame 0, identical to
+    ``dbsr.AlignedEncoder``) so a flow net pretrained here grafts
+    directly into DBSRNet: the inner module is named ``alignment_net``,
+    matching the ``encoder/alignment_net`` parameter subtree.
+
+    ``__call__(burst [B, N, h, w, 4]) -> flow [B, N-1, h, w, 2]``.
+    """
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, burst):
+        from dbsr_tpu.ops.camera import demosaic_naive
+
+        assert burst.ndim == 5, "expected [B, N, h, w, 4] packed burst"
+        B, N = burst.shape[0], burst.shape[1]
+        rgb = demosaic_naive(burst)
+        ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
+        oth = rgb[:, 1:]
+        flat = lambda x: x.reshape((-1,) + x.shape[-3:])  # noqa: E731
+        flow = PWCNet(name="alignment_net", dtype=self.dtype)(
+            flat(oth), flat(ref))
+        return flow.reshape((B, N - 1) + flow.shape[-3:]).astype(
+            jnp.float32)
+
+
 class PWCNet(nn.Module):
     """User-facing flow wrapper (reference ``pwcnet.py:234-281``).
 

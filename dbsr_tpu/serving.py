@@ -35,7 +35,7 @@ class Predictor:
     """AOT-compiled fixed-shape burst-SR predictor (see module doc)."""
 
     def __init__(self, net, params, batch_size: int, burst_size: int,
-                 burst_hw, dtype=jnp.bfloat16, mesh=None):
+                 burst_hw, mesh=None):
         self.batch_size = batch_size
         self.in_shape = (batch_size, burst_size) + tuple(burst_hw) + (4,)
 
@@ -44,13 +44,23 @@ class Predictor:
             return jnp.clip(pred, 0.0, 1.0)
 
         fn = jax.jit(forward)
+        self._batch_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            if batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh "
+                    f"'data' axis ({mesh.shape['data']} devices)")
+            param_sharding = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P("data"))
             fn = jax.jit(
                 forward,
-                in_shardings=(NamedSharding(mesh, P()),
-                              NamedSharding(mesh, P("data"))),
-                out_shardings=NamedSharding(mesh, P("data")))
+                in_shardings=(param_sharding, self._batch_sharding),
+                out_shardings=self._batch_sharding)
+            # AOT executables require inputs already placed at the compiled
+            # shardings; params come in as host (numpy) arrays from
+            # load_network.
+            params = jax.device_put(params, param_sharding)
         t0 = time.time()
         self._compiled = fn.lower(
             jax.eval_shape(lambda: params),
@@ -81,7 +91,11 @@ class Predictor:
             pad = np.zeros((self.batch_size - n,) + burst.shape[1:],
                            np.float32)
             burst = np.concatenate([burst, pad], axis=0)
-        out = self._compiled(self._params, jnp.asarray(burst))
+        if self._batch_sharding is not None:
+            arr = jax.device_put(burst, self._batch_sharding)
+        else:
+            arr = jnp.asarray(burst)
+        out = self._compiled(self._params, arr)
         return np.asarray(out)[:n]
 
 
@@ -96,4 +110,4 @@ def load_predictor(checkpoint_path: str, batch_size: int = 8,
     overrides.update(net_overrides)
     net, params, _ = load_network(checkpoint_path, **overrides)
     return Predictor(net, params, batch_size, burst_size, burst_hw,
-                     dtype=dtype, mesh=mesh)
+                     mesh=mesh)

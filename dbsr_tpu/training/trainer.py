@@ -58,18 +58,41 @@ class Trainer:
                  net_name: str = "dbsr", tensorboard_dir: Optional[str] = None,
                  mesh=None, print_interval: int = 50, seed: int = 0,
                  description: str = "", prepare_fn: Optional[Callable] = None,
-                 init_burst_shape: Optional[tuple] = None):
+                 init_burst_shape: Optional[tuple] = None,
+                 cast_uint8_inputs: bool = True):
         """``prepare_fn(key, host_batch) -> batch dict`` maps the host
         loader's output to the training batch on device. Default: on-device
         burst synthesis from RGB crops (``synthesize_batch`` with
         ``burst_cfg``). Pass an identity-like fn for pre-formed batches
-        (e.g. BurstSR real bursts)."""
+        (e.g. BurstSR real bursts). ``cast_uint8_inputs`` up-casts uint8
+        loader outputs to f32/255 before ``prepare_fn``; disable it when the
+        loader yields something other than image crops (e.g. the
+        ``ProceduralPoolBatcher``'s uint8 pool handle, whose batch draw and
+        cast happen inside ``prepare_fn``)."""
         self.net = net
         self.actor_fn = actor_fn
         self.tx = tx
         self.loaders = loaders
+        if jax.process_count() > 1:
+            # Multi-host: every process runs this constructor with the same
+            # config seed; without decorrelation each process's batcher
+            # would produce IDENTICAL crops and global_batch_from_local
+            # would assemble process_count copies of the same data. Fold the
+            # process index into every batcher's stream. (The configured
+            # batch_size is per-process; the global batch is
+            # batch_size * process_count.)
+            pid = jax.process_index()
+            for l in loaders:
+                fold = getattr(l.batcher, "fold_in_process", None)
+                if fold is not None:
+                    fold(pid)
+                else:
+                    print(f"WARNING: loader '{l.name}' batcher has no "
+                          "fold_in_process(); multi-host processes may feed "
+                          "duplicate data", flush=True)
         self.cfg = burst_cfg
         self.prepare_fn = prepare_fn
+        self.cast_uint8_inputs = cast_uint8_inputs
         self.init_burst_shape = init_burst_shape
         self.workspace_dir = workspace_dir
         self.net_name = net_name
@@ -99,6 +122,8 @@ class Trainer:
             """Crops arrive as uint8 by default (CropBatcher
             transfer_dtype): 4x fewer host->device bytes, normalized back
             to [0, 1] f32 on device."""
+            if not self.cast_uint8_inputs:
+                return crops
             if jax.tree_util.tree_leaves(crops)[0].dtype == jnp.uint8:
                 return jax.tree.map(
                     lambda x: x.astype(jnp.float32) / 255.0, crops)
@@ -175,6 +200,22 @@ class Trainer:
                                     self._device_put)
         t0 = time.perf_counter()
         samples_done = 0
+        # Per-step stat scalars stay ON DEVICE; fetching them every step
+        # (float(v)) would block the host until the step completes and
+        # serialize the pipeline — a device round-trip per step, costly
+        # over remote runtimes. Buffer and fetch in one transfer at
+        # print_interval / epoch boundaries instead.
+        pending: List[tuple] = []
+
+        def flush():
+            if not pending:
+                return
+            host = jax.device_get([s for s, _ in pending])
+            for s_host, (_, b) in zip(host, pending):
+                stats.update_from(
+                    {k2: float(v) for k2, v in s_host.items()}, n=b)
+            pending.clear()
+
         for i, crops in enumerate(prefetch):
             k = jax.random.fold_in(key, i)
             with maybe_trace(i):
@@ -184,14 +225,15 @@ class Trainer:
                     step_stats = self._eval_step(state, k, crops)
             bs = jax.tree_util.tree_leaves(crops)[0].shape[0]
             samples_done += bs
-            stats.update_from(
-                {k2: float(v) for k2, v in step_stats.items()}, n=bs)
+            pending.append((step_stats, bs))
             if (i + 1) % self.print_interval == 0 or (i + 1) == n:
+                flush()
                 fps = samples_done / (time.perf_counter() - t0)
                 line = f"[{loader.name}: {self.epoch}, {i + 1}/{n}] " \
                        f"FPS: {fps:.1f}, " + ", ".join(
                            f"{k2}: {m.avg:.5f}" for k2, m in stats.items())
                 print(line, flush=True)
+        flush()
         return state
 
     def _save(self, state: TrainState):

@@ -40,6 +40,8 @@ def main():
     p.add_argument("--lpips_weights", default=None,
                    help="path to converted lpips_alex.npz (overrides "
                         "DBSR_TPU_LPIPS_WEIGHTS / pretrained-nets dir)")
+    p.add_argument("--json", default=None, metavar="PATH",
+                   help="also write compute_score results as JSON")
     args = p.parse_args()
 
     if args.load_saved and not args.out_dir:
@@ -47,6 +49,10 @@ def main():
                 "predictions were saved to with save_results)")
     if args.load_saved and args.action != "compute_score":
         p.error("--load_saved only applies to compute_score")
+    if args.load_saved and args.benchmark != "synburst":
+        p.error("--load_saved is only supported for the synburst benchmark "
+                "(burstsr scoring needs the burst inputs for spatial-color "
+                "alignment, so it always runs the networks)")
 
     from dbsr_tpu.environment import env_settings
     env = env_settings()
@@ -57,12 +63,16 @@ def main():
         root = args.dataset_root or env.synburstval_dir
         from dbsr_tpu.evaluation import synburst as ev
         if args.action == "compute_score":
-            ev.compute_score(
+            scores = ev.compute_score(
                 network_params, root, workspace_dir=workspace,
                 saved_results_root=(args.out_dir if args.load_saved else None),
                 with_lpips=not args.no_lpips,
                 lpips_weights=args.lpips_weights,
                 max_bursts=args.max_bursts)
+            if args.json:
+                import json
+                with open(args.json, "w") as f:
+                    json.dump(scores, f, indent=2)
         elif args.action == "save_results":
             out = args.out_dir or os.path.join(workspace, "synburst_results")
             ev.save_results(network_params, root, out,
@@ -77,10 +87,15 @@ def main():
         root = args.dataset_root or env.burstsr_dir
         from dbsr_tpu.evaluation import burstsr as ev
         if args.action == "compute_score":
-            ev.compute_score(network_params, root, workspace_dir=workspace,
-                             with_lpips=not args.no_lpips,
-                             lpips_weights=args.lpips_weights,
-                             max_bursts=args.max_bursts)
+            scores = ev.compute_score(network_params, root,
+                                      workspace_dir=workspace,
+                                      with_lpips=not args.no_lpips,
+                                      lpips_weights=args.lpips_weights,
+                                      max_bursts=args.max_bursts)
+            if args.json:
+                import json
+                with open(args.json, "w") as f:
+                    json.dump(scores, f, indent=2)
         elif args.action == "save_results":
             out = args.out_dir or os.path.join(workspace, "burstsr_results")
             ev.save_results(network_params, root, out,

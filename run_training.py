@@ -37,9 +37,25 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--single_device", action="store_true",
                    help="disable the device mesh (debugging)")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   dest="overrides",
+                   help="settings override, e.g. --set epochs=10 "
+                        "--set fused_resample=False (values are parsed as "
+                        "Python literals when possible)")
     args = p.parse_args()
+
+    import ast
+    extra = {}
+    for item in args.overrides:
+        k, _, v = item.partition("=")
+        if not _:
+            p.error(f"--set expects K=V, got {item!r}")
+        try:
+            extra[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            extra[k] = v
     run_training(args.module, args.config, batch_size=args.batch_size,
-                 multi_device=not args.single_device)
+                 multi_device=not args.single_device, **extra)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,30 @@ def test_predictor_shapes_and_padding(ckpt_path):
     assert out1.shape == (1, 32, 32, 3)
 
 
+def test_predictor_mesh_sharded(ckpt_path):
+    """Multi-chip serving path on the virtual 8-device mesh: host-array
+    params/inputs must be placed at the compiled shardings (AOT executables
+    do not auto-commit inputs)."""
+    from dbsr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    pred = load_predictor(ckpt_path, batch_size=8, burst_size=3,
+                          burst_hw=CFG.burst_hw, dtype=None, mesh=mesh)
+    ref = load_predictor(ckpt_path, batch_size=8, burst_size=3,
+                         burst_hw=CFG.burst_hw, dtype=None)
+    full = np.random.RandomState(1).rand(8, 3, *CFG.burst_hw, 4).astype(
+        np.float32)
+    out = pred(full)
+    assert out.shape == (8, 32, 32, 3)
+    np.testing.assert_allclose(out, ref(full), atol=1e-5)
+    # partial batch through the sharded executable
+    np.testing.assert_allclose(pred(full[:3]), out[:3], atol=1e-6)
+    # batch not divisible by the data axis is rejected at build time
+    with pytest.raises(ValueError, match="divisible"):
+        load_predictor(ckpt_path, batch_size=3, burst_size=3,
+                       burst_hw=CFG.burst_hw, dtype=None, mesh=mesh)
+
+
 def test_predictor_rejects_bad_shapes(ckpt_path):
     pred = load_predictor(ckpt_path, batch_size=2, burst_size=3,
                           burst_hw=CFG.burst_hw, dtype=None)

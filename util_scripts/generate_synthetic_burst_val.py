@@ -10,6 +10,10 @@ Usage:
     python util_scripts/generate_synthetic_burst_val.py \
         --source_dir <folder of RGB images> --out_dir <val set dir> \
         [--num_bursts 300] [--seed 0]
+
+Zero-egress mode: ``--procedural N`` replaces ``--source_dir`` with N
+on-device dead-leaves source images (``dbsr_tpu/data/procedural.py``) —
+the frozen val set for training campaigns without staged natural data.
 """
 
 import argparse
@@ -21,12 +25,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--source_dir", required=True)
+    p.add_argument("--source_dir", default=None)
+    p.add_argument("--procedural", type=int, default=None, metavar="N",
+                   help="use N procedural dead-leaves source images "
+                        "instead of --source_dir")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--num_bursts", type=int, default=300)
     p.add_argument("--burst_size", type=int, default=14)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
+    if (args.source_dir is None) == (args.procedural is None):
+        p.error("exactly one of --source_dir / --procedural is required")
 
     import jax
     import jax.numpy as jnp
@@ -39,7 +48,13 @@ def main():
     cfg = BurstConfig(burst_size=args.burst_size, crop_sz=(384, 384),
                       downsample_factor=4, border_crop=24,
                       max_translation=24.0, max_rotation=1.0)
-    ds = ImageFolder(args.source_dir)
+    if args.procedural is not None:
+        from dbsr_tpu.data.procedural import ProceduralImages
+        ds = ProceduralImages(args.procedural,
+                              hw=(max(cfg.pre_crop_sz),) * 2,
+                              seed=args.seed + 777)
+    else:
+        ds = ImageFolder(args.source_dir)
     rng = np.random.default_rng(args.seed)
 
     synth = jax.jit(lambda key, img: rgb2rawburst(key, img, cfg))

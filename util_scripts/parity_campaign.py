@@ -1,0 +1,159 @@
+"""Parity training campaign driver (the reference's flagship schedule,
+zero-egress).
+
+Reproduces the reference's published training protocol
+(``/root/reference/train_settings/dbsr/default_synthetic.py:26-100`` —
+100 epochs x 1000 steps x B=16, Adam 1e-4 StepLR(40, 0.2), frozen
+pretrained aligner per ``models/dbsr/dbsrnet.py:44,59-60``) end to end on
+one TPU chip, with procedural dead-leaves source imagery standing in for
+Zurich when none is staged:
+
+  1. pretrain PWC on the synthesis pipeline's exact flow labels
+     (``pwcnet/pretrain_synthetic``; skipped if a checkpoint exists);
+  2. generate a FROZEN SyntheticBurstVal-format val set (default 300
+     bursts, STRICT degradation kernel — eval bursts are always strict);
+  3. run ``dbsr/default_synthetic`` in resumable chunks, scoring the
+     latest checkpoint through the real eval CLI (boundary 40, 2^14
+     quantize) after each chunk;
+  4. append {epoch, psnr, ssim, ...} lines to
+     ``<workspace>/campaign_trajectory.jsonl``.
+
+Every stage is a SUBPROCESS with a timeout: a wedged relay kills the
+chunk and the next attempt resumes exactly from the last checkpoint
+(trainer resume + idempotent pretrain/valgen). Safe to re-run at any
+point; it continues where it left off.
+
+Usage:
+    python util_scripts/parity_campaign.py --workspace /root/campaign \
+        [--epochs 100] [--chunk 5] [--eval_every 5] [--val_bursts 300]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(args, timeout, env, log_path):
+    print(f"+ {' '.join(args)} (timeout {timeout}s)", flush=True)
+    with open(log_path, "a") as log:
+        log.write(f"\n===== {time.strftime('%F %T')} {' '.join(args)}\n")
+        log.flush()
+        try:
+            p = subprocess.run(args, cwd=REPO, env=env, stdout=log,
+                               stderr=subprocess.STDOUT, timeout=timeout)
+            return p.returncode
+        except subprocess.TimeoutExpired:
+            print(f"  TIMEOUT after {timeout}s (see {log_path})", flush=True)
+            return -1
+
+
+def latest_epoch(ws, sub, name):
+    import glob
+    import re
+    best = 0
+    for p in glob.glob(os.path.join(ws, sub, f"{name}_ep*.ckpt")):
+        m = re.search(r"_ep(\d+)\.ckpt$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workspace", required=True)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--chunk", type=int, default=5,
+                    help="epochs per training subprocess")
+    ap.add_argument("--eval_every", type=int, default=5)
+    ap.add_argument("--val_bursts", type=int, default=300)
+    ap.add_argument("--pwc_epochs", type=int, default=15)
+    ap.add_argument("--chunk_timeout", type=int, default=7200)
+    ap.add_argument("--eval_timeout", type=int, default=3600)
+    ap.add_argument("--max_retries", type=int, default=3,
+                    help="consecutive failed/hung attempts per stage")
+    args = ap.parse_args()
+
+    ws = os.path.abspath(args.workspace)
+    os.makedirs(ws, exist_ok=True)
+    log_path = os.path.join(ws, "campaign.log")
+    traj_path = os.path.join(ws, "campaign_trajectory.jsonl")
+    val_dir = os.path.join(ws, "procedural_val")
+
+    env = dict(os.environ)
+    env["DBSR_TPU_WORKSPACE_DIR"] = ws
+    env["DBSR_TPU_TENSORBOARD_DIR"] = os.path.join(ws, "tensorboard")
+    env["DBSR_TPU_SYNBURSTVAL_DIR"] = val_dir
+    py = sys.executable
+
+    def run_with_retries(argv, timeout, what):
+        for attempt in range(args.max_retries):
+            rc = sh(argv, timeout, env, log_path)
+            if rc == 0:
+                return
+            print(f"{what}: attempt {attempt + 1} rc={rc}; retrying",
+                  flush=True)
+        raise RuntimeError(f"{what} failed {args.max_retries} times; "
+                           f"see {log_path}")
+
+    # ---- 1. PWC pretraining (idempotent: resumes / no-ops when done) ----
+    if latest_epoch(ws, "pwcnet/pretrain_synthetic",
+                    "pwcnet_synth") < args.pwc_epochs:
+        run_with_retries(
+            [py, "run_training.py", "pwcnet", "pretrain_synthetic",
+             "--set", f"epochs={args.pwc_epochs}"],
+            args.chunk_timeout, "pwc pretrain")
+    print("PWC pretrain done", flush=True)
+
+    # ---- 2. frozen procedural val set (strict kernel) ----
+    if not os.path.exists(os.path.join(
+            val_dir, "gt", f"{args.val_bursts - 1:04d}", "meta_info.pkl")):
+        run_with_retries(
+            [py, "util_scripts/generate_synthetic_burst_val.py",
+             "--procedural", str(max(args.val_bursts // 2, 1)),
+             "--out_dir", val_dir, "--num_bursts", str(args.val_bursts),
+             "--seed", "20260817"],
+            args.eval_timeout, "val set generation")
+    print("val set ready", flush=True)
+
+    def eval_latest(epoch):
+        out_json = os.path.join(ws, f"eval_ep{epoch:04d}.json")
+        if os.path.exists(out_json):
+            return
+        run_with_retries(
+            [py, "run_evaluation.py", "synburst", "compute_score",
+             "dbsr_default", "--no_lpips", "--json", out_json],
+            args.eval_timeout, f"eval@{epoch}")
+        with open(out_json) as f:
+            scores = json.load(f)
+        row = {"epoch": epoch, "time": time.strftime("%F %T")}
+        for metric, per_net in scores.items():
+            row[metric] = next(iter(per_net.values()))
+        with open(traj_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"trajectory: {row}", flush=True)
+
+    # ---- 3. chunked training + periodic eval ----
+    while True:
+        done = latest_epoch(ws, "dbsr/default_synthetic", "dbsr_synthetic")
+        if done >= args.epochs:
+            break
+        target = min(done + args.chunk, args.epochs)
+        run_with_retries(
+            [py, "run_training.py", "dbsr", "default_synthetic",
+             "--set", f"epochs={target}"],
+            args.chunk_timeout, f"train to {target}")
+        now = latest_epoch(ws, "dbsr/default_synthetic", "dbsr_synthetic")
+        if now % args.eval_every == 0 or now >= args.epochs:
+            eval_latest(now)
+
+    eval_latest(args.epochs)
+    print("campaign complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
