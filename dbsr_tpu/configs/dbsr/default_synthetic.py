@@ -160,9 +160,15 @@ def run(settings):
                                                 steps_per_epoch)
 
     import jax.numpy as jnp
-    compute_dtype = getattr(settings, "compute_dtype", None)
-    if compute_dtype == "bfloat16":
+    # bf16 compute is the TPU-idiomatic default (MXU-native; params and
+    # optimizer state stay f32 master weights — flax param_dtype). The
+    # reference trains f32 on CUDA; --set compute_dtype=float32 restores
+    # that at ~2x the step time.
+    compute_dtype = getattr(settings, "compute_dtype", "bfloat16")
+    if compute_dtype in ("bfloat16", "bf16"):
         compute_dtype = jnp.bfloat16
+    elif compute_dtype in ("float32", "f32"):
+        compute_dtype = None
 
     # Reference protocol: pretrained + frozen flow net when available
     # (dbsrnet.py:44,59-60); end-to-end fallback otherwise.

@@ -54,7 +54,8 @@ def run(settings):
 
     net = BurstFlowNet()
     actor = make_flow_actor(net)
-    tx = make_optimizer(base_lr=getattr(settings, "base_lr", 1e-4),
+    # 2e-4: PWC's original 1e-4 linearly scaled for B=16 vs its B=8
+    tx = make_optimizer(base_lr=getattr(settings, "base_lr", 2e-4),
                         step_size_epochs=6, gamma=0.3,
                         steps_per_epoch=steps_per_epoch)
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dbsr_tpu.models.layers import (ConvBlock, PixShuffleUpsampler,
-                                    ResBlock, pixel_shuffle)
+                                    ResBlock, depth_to_space_phase_major)
 from dbsr_tpu.models.pwcnet import PWCNet
 from dbsr_tpu.ops.camera import demosaic_naive
 from dbsr_tpu.ops.warp_pallas import warp_auto as warp
@@ -272,7 +272,7 @@ class PixShuffleDecoder(nn.Module):
         x = ConvBlock(3, 1, activation=self.final_activation, dtype=d,
                       s2d=s2d)(x)
         if s2d:
-            x = pixel_shuffle(x, 2)
+            x = depth_to_space_phase_major(x, 2)
         return x
 
 

@@ -195,9 +195,11 @@ class PixShuffleUpsampler(nn.Module):
                 # grouped conv with 4-channel groups is pathologically slow
                 # on TPU (+14 ms measured); a dense 128-ch conv with a
                 # block-diagonal kernel costs ~1 ms despite 32x the FLOPs.
+                # Phase-major: out (p*C + c) uses in (q*C + c) with weight
+                # k1[.., q, p].
                 k1 = s2d_conv_kernel(k[:, :, None, None])  # [3,3,4,4]
                 eye = jnp.eye(self.features, dtype=k1.dtype)
-                kern = jnp.einsum("hwqp,cd->hwcqdp", k1, eye).reshape(
+                kern = jnp.einsum("hwqp,cd->hwqcpd", k1, eye).reshape(
                     k1.shape[0], k1.shape[1], 4 * self.features,
                     4 * self.features).astype(x.dtype)
                 xx = jax.lax.conv_general_dilated(
@@ -265,13 +267,17 @@ class TorchConvTranspose(nn.Module):
 # equivalent to a 3x3 SAME conv on the space-to-depth-by-2 representation
 # with a structured kernel: measured on v5e, the DBSR decoder's post-
 # shuffle stage (384^2 x 32ch) runs 1.5x faster this way (9.1 -> 6.2 ms).
-# Channel layout is c-major: s2d channel index = c*4 + (qy*2 + qx).
+# Channel layout is PHASE-major: s2d channel index = (qy*2 + qx)*C + c,
+# so each sub-pixel phase occupies a CONTIGUOUS channel block — the layout
+# the Pallas fine-patch conv kernel (ops/conv_s2d_pallas.py) slices for
+# free. Parameters are always fine-resolution; the layout is compute-only.
 # ---------------------------------------------------------------------------
 
 def s2d_conv_kernel(k: jax.Array) -> jax.Array:
     """Transform a fine-resolution conv kernel ``[kh, kw, C, O]`` (kh=kw in
     {1, 3}) into the equivalent coarse kernel ``[3, 3, 4C, 4O]`` (or
-    ``[1, 1, 4C, 4O]`` for 1x1) over the space-to-depth-2 representation."""
+    ``[1, 1, 4C, 4O]`` for 1x1) over the space-to-depth-2 representation
+    (phase-major channel blocks)."""
     kh, kw, C, O = k.shape
     assert kh == kw and kh in (1, 3)
     ksz = 3 if kh == 3 else 1
@@ -289,7 +295,8 @@ def s2d_conv_kernel(k: jax.Array) -> jax.Array:
                                 qi = qy * 2 + qx
                                 pi = py * 2 + px
                                 K = K.at[dy + span, dx + span,
-                                         qi::4, pi::4].set(
+                                         qi * C:(qi + 1) * C,
+                                         pi * O:(pi + 1) * O].set(
                                     k[du + span, dv + span])
     return K
 
@@ -313,19 +320,26 @@ class S2DConv(nn.Module):
         shape = (self.kernel_size, self.kernel_size, in_base, self.features)
         fan_in = self.kernel_size * self.kernel_size * in_base
         kernel = self.param("kernel", torch_conv_kernel_init, shape)
-        K = s2d_conv_kernel(kernel)
         # match flax nn.Conv dtype semantics: explicit dtype wins, else
         # promote input/params to a common type
-        dt = self.dtype or jnp.promote_types(x.dtype, K.dtype)
-        K = K.astype(dt)
+        dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
         x = x.astype(dt)
-        out = jax.lax.conv_general_dilated(
-            x, K, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.kernel_size == 3:
+            # fine-patch Pallas kernel on TPU (true conv FLOPs at full MXU
+            # lanes); falls back to the structured-dense formulation when
+            # the lane/VMEM constraints don't hold (ops/conv_s2d_pallas.py)
+            from dbsr_tpu.ops.conv_s2d_pallas import conv3x3_s2d_auto
+            out = conv3x3_s2d_auto(x, kernel)
+        else:
+            K = s2d_conv_kernel(kernel).astype(dt)
+            out = jax.lax.conv_general_dilated(
+                x, K, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias", make_torch_bias_init(fan_in),
                               (self.features,))
-            out = out + jnp.repeat(bias, 4).astype(out.dtype)
+            # phase-major: same per-phase bias tiled over the 4 blocks
+            out = out + jnp.tile(bias, 4).astype(out.dtype)
         return out
 
 
@@ -333,17 +347,28 @@ def s2d_shuffle_permutation(c_out: int, r: int) -> jnp.ndarray:
     """Channel permutation folding s2d into pixel-shuffle.
 
     ``pixel_shuffle(x[..., perm], r // 2)`` yields exactly
-    ``space_to_depth(pixel_shuffle(x, r), 2)`` in c-major phase layout:
-    position ``(c*4 + qy*2 + qx) * (r/2)^2 + di*(r/2) + dj`` takes the old
-    channel ``c*r^2 + (2di+qy)*r + (2dj+qx)``.
+    ``space_to_depth(pixel_shuffle(x, r), 2)`` in PHASE-major layout:
+    position ``((qy*2 + qx)*C + c) * (r/2)^2 + di*(r/2) + dj`` takes the
+    old channel ``c*r^2 + (2di+qy)*r + (2dj+qx)``.
     """
     rc = r // 2
     perm = []
-    for c in range(c_out):
-        for qy in range(2):
-            for qx in range(2):
+    for qy in range(2):
+        for qx in range(2):
+            for c in range(c_out):
                 for di in range(rc):
                     for dj in range(rc):
                         perm.append(c * r * r + (2 * di + qy) * r
                                     + (2 * dj + qx))
     return jnp.asarray(perm, jnp.int32)
+
+
+def depth_to_space_phase_major(x: jax.Array, r: int = 2) -> jax.Array:
+    """Inverse of phase-major space-to-depth: ``[..., H, W, r*r*C]`` with
+    channel ``(qy*r + qx)*C + c`` -> ``[..., H*r, W*r, C]``."""
+    *lead, H, W, RC = x.shape
+    C = RC // (r * r)
+    x = x.reshape(*lead, H, W, r, r, C)
+    # [..., H, W, qy, qx, c] -> [..., H, qy, W, qx, c]
+    x = jnp.moveaxis(x, (-3, -2), (-4, -2))
+    return x.reshape(*lead, H * r, W * r, C)

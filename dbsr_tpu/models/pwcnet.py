@@ -119,19 +119,24 @@ class PWCFlowNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, im_first, im_second):
+    def __call__(self, im_first, im_second, return_pyramid: bool = False):
         d = self.dtype
         extractor = Extractor(name="extractor", dtype=d)
         f1 = extractor(im_first)
         f2 = extractor(im_second)
 
-        est = Decoder(6, name="dec6", dtype=d)(f1[5], f2[5], None)
-        est = Decoder(5, name="dec5", dtype=d)(f1[4], f2[4], est)
-        est = Decoder(4, name="dec4", dtype=d)(f1[3], f2[3], est)
-        est = Decoder(3, name="dec3", dtype=d)(f1[2], f2[2], est)
-        est = Decoder(2, name="dec2", dtype=d)(f1[1], f2[1], est)
+        pyramid = {}
+        est = None
+        for lvl in (6, 5, 4, 3, 2):
+            est = Decoder(lvl, name=f"dec{lvl}", dtype=d)(
+                f1[lvl - 1], f2[lvl - 1], est)
+            pyramid[lvl] = est["flow"]
 
-        return est["flow"] + Refiner(name="refiner", dtype=d)(est["feat"])
+        flow = est["flow"] + Refiner(name="refiner", dtype=d)(est["feat"])
+        if return_pyramid:
+            pyramid[2] = flow  # supervise the refined level-2 flow
+            return flow, pyramid
+        return flow
 
 
 class BurstFlowNet(nn.Module):
@@ -148,12 +153,16 @@ class BurstFlowNet(nn.Module):
     directly into DBSRNet: the inner module is named ``alignment_net``,
     matching the ``encoder/alignment_net`` parameter subtree.
 
-    ``__call__(burst [B, N, h, w, 4]) -> flow [B, N-1, h, w, 2]``.
+    ``__call__(burst [B, N, h, w, 4]) -> flow [B, N-1, h, w, 2]``; with
+    ``return_pyramid=True`` also returns the raw decoder-level flows for
+    multi-scale supervision (final-flow-only supervision stalls — PWC's
+    gradient signal must enter at the coarse decoders first, the standard
+    multi-scale training recipe).
     """
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, burst):
+    def __call__(self, burst, return_pyramid: bool = False):
         from dbsr_tpu.ops.camera import demosaic_naive
 
         assert burst.ndim == 5, "expected [B, N, h, w, 4] packed burst"
@@ -162,8 +171,12 @@ class BurstFlowNet(nn.Module):
         ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
         oth = rgb[:, 1:]
         flat = lambda x: x.reshape((-1,) + x.shape[-3:])  # noqa: E731
-        flow = PWCNet(name="alignment_net", dtype=self.dtype)(
-            flat(oth), flat(ref))
+        net = PWCNet(name="alignment_net", dtype=self.dtype)
+        if return_pyramid:
+            flow, aux = net(flat(oth), flat(ref), return_pyramid=True)
+            flow = flow.reshape((B, N - 1) + flow.shape[-3:])
+            return flow.astype(jnp.float32), aux
+        flow = net(flat(oth), flat(ref))
         return flow.reshape((B, N - 1) + flow.shape[-3:]).astype(
             jnp.float32)
 
@@ -180,7 +193,7 @@ class PWCNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, source_img, target_img):
+    def __call__(self, source_img, target_img, return_pyramid: bool = False):
         assert source_img.shape == target_img.shape
         lead = source_img.shape[:-3]
         H, W = source_img.shape[-3], source_img.shape[-2]
@@ -195,8 +208,19 @@ class PWCNet(nn.Module):
         else:
             src_r, tgt_r = src, tgt
 
-        flow = PWCFlowNet(name="net", dtype=self.dtype)(tgt_r, src_r)
-        flow = 20.0 * resize_bilinear(flow, (H, W))
+        net = PWCFlowNet(name="net", dtype=self.dtype)
+        if return_pyramid:
+            raw, pyramid = net(tgt_r, src_r, return_pyramid=True)
+        else:
+            raw = net(tgt_r, src_r)
+        flow = 20.0 * resize_bilinear(raw, (H, W))
         scale = jnp.array([W / Wp, H / Hp], flow.dtype)
-        flow = flow * scale
-        return flow.reshape(lead + (H, W, 2))
+        flow = (flow * scale).reshape(lead + (H, W, 2))
+        if return_pyramid:
+            # raw pyramid flows share the 'x20 of preprocessed-full-res px'
+            # unit at every level (the backwarp scale table encodes exactly
+            # this: 20 / 2^L); callers supervising them need (Hp, Wp)
+            pyramid = {lvl: f.reshape(lead + f.shape[-3:])
+                       for lvl, f in pyramid.items()}
+            return flow, {"pyramid": pyramid, "preprocessed_hw": (Hp, Wp)}
+        return flow

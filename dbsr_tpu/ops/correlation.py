@@ -20,9 +20,17 @@ Two implementations:
     padded ``second`` into VMEM once and produces all 81 channels in one
     pass, making the op bandwidth-optimal (the XLA version re-reads operands
     per displacement unless fusion keeps them resident). Wrapped in
-    ``jax.custom_vjp``; the backward re-uses the XLA formulation's VJP,
-    mirroring the reference's hand-written ``updateGradFirst/Second``
-    (`correlation.py:105-233`) but derived mechanically.
+    ``jax.custom_vjp``; the backward is a pair of one-pass Pallas kernels
+    (one per gradient) over VMEM-resident operands (our analog of the
+    reference's hand-written ``updateGradFirst/Second``,
+    `correlation.py:105-233`):
+
+        d_first[y, x, ch]  = (1/C) * sum_o g[y, x, o] * s[y+dy_o, x+dx_o, ch]
+        d_second[v, w, ch] = (1/C) * sum_o g[v-dy_o, w-dx_o, o]
+                                         * f[v-dy_o, w-dx_o, ch]
+
+    i.e. the same shifted-window structure with negated offsets and the
+    (g * f) product — no scatter anywhere.
 
 ``cost_volume`` is the public entry: picks Pallas on TPU, XLA elsewhere.
 """
@@ -100,6 +108,91 @@ def _correlation_pallas_fwd_impl(first: jax.Array, second: jax.Array,
     )(first, second_p)
 
 
+def _corr_dfirst_kernel(second_pad_ref, g_ref, dfirst_ref):
+    """d_first[y, x, c] = (1/C) sum_o g[y, x, o] * sp[y+dy_o, x+dx_o, c].
+    Static slices only; f32 accumulation regardless of input dtype."""
+    p = MAX_DISP
+    sp = second_pad_ref[0].astype(jnp.float32)  # [H+2p, W+2p, C]
+    g = g_ref[0].astype(jnp.float32)            # [H, W, 81]
+    H, W = g.shape[0], g.shape[1]
+    C = sp.shape[-1]
+
+    df = jnp.zeros((H, W, C), jnp.float32)
+    for o, (dy, dx) in enumerate(_offsets()):
+        go = g[:, :, o:o + 1]
+        df = df + go * sp[p + dy:p + dy + H, p + dx:p + dx + W, :]
+    dfirst_ref[0] = (df * (1.0 / C)).astype(dfirst_ref.dtype)
+
+
+def _corr_dsecond_kernel(first_pad_ref, g_pad_ref, dsecond_ref):
+    """d_second[v, w, c] = (1/C) sum_o g[v-dy_o, w-dx_o, o]
+    * f[v-dy_o, w-dx_o, c] — the same shifted-window structure as d_first
+    with negated offsets, reading PADDED f and g so every shift is a
+    static slice (Mosaic has no value-level dynamic_update_slice, so a
+    shift-accumulator formulation is not lowerable)."""
+    p = MAX_DISP
+    fp = first_pad_ref[0].astype(jnp.float32)  # [H+2p, W+2p, C]
+    gp = g_pad_ref[0].astype(jnp.float32)      # [H+2p, W+2p, 81]
+    H, W = fp.shape[0] - 2 * p, fp.shape[1] - 2 * p
+    C = fp.shape[-1]
+
+    ds = jnp.zeros((H, W, C), jnp.float32)
+    for o, (dy, dx) in enumerate(_offsets()):
+        gfo = gp[p - dy:p - dy + H, p - dx:p - dx + W, o:o + 1]
+        ds = ds + gfo * fp[p - dy:p - dy + H, p - dx:p - dx + W, :]
+    dsecond_ref[0] = (ds * (1.0 / C)).astype(dsecond_ref.dtype)
+
+
+def _correlation_pallas_bwd_impl(first, second, g, interpret=False):
+    """Two single-pass kernels (one per gradient): a fused both-gradients
+    kernel holds 4 large operands plus the unrolled loop's pipeline
+    temporaries live and blows the ~16 MB scoped-VMEM stack limit even at
+    small shapes (observed: 17.45M at [4,16,16,64])."""
+    B, H, W, C = first.shape
+    p = MAX_DISP
+    Hp, Wp = H + 2 * p, W + 2 * p
+    pad = ((0, 0), (p, p), (p, p), (0, 0))
+    first_p = jnp.pad(first, pad)
+    second_p = jnp.pad(second, pad)
+    g_p = jnp.pad(g, pad)
+    cost = pl.CostEstimate(
+        flops=2 * B * H * W * C * NUM_OFFSETS,
+        bytes_accessed=4 * B * H * W * (2 * C + NUM_OFFSETS),
+        transcendentals=0,
+    )
+    df = pl.pallas_call(
+        _corr_dfirst_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, NUM_OFFSETS), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), first.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(second_p, g)
+    ds = pl.pallas_call(
+        _corr_dsecond_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, Wp, NUM_OFFSETS), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), second.dtype),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(first_p, g_p)
+    return df, ds
+
+
 @jax.custom_vjp
 def correlation_pallas(first: jax.Array, second: jax.Array) -> jax.Array:
     return _correlation_pallas_fwd_impl(first, second)
@@ -111,8 +204,7 @@ def _corr_fwd(first, second):
 
 def _corr_bwd(res, g):
     first, second = res
-    _, vjp = jax.vjp(correlation_xla, first, second)
-    return vjp(g)
+    return tuple(_correlation_pallas_bwd_impl(first, second, g))
 
 
 correlation_pallas.defvjp(_corr_fwd, _corr_bwd)

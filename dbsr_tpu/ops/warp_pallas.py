@@ -18,8 +18,11 @@ rates instead of gather rates. Zeros padding is folded into the tap weights
 (out-of-range taps get weight 0), matching ``sample_bilinear`` semantics
 exactly.
 
-Gradient: wrapped in ``jax.custom_vjp`` with the backward computed by the
-XLA gather formulation's VJP (mirrors the correlation kernel's pattern).
+Gradient: ``jax.custom_vjp`` with BOTH backwards as Pallas kernels —
+d_feat is the transposed one-hot operator matmul (``_dfeat_kernel``) and
+d_flow contracts the derivative operators against the features
+(``_dflow_kernel``); the autodiff backward of a gather would be a
+scatter-add, far slower on TPU.
 """
 
 from __future__ import annotations

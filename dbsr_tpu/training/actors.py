@@ -47,7 +47,17 @@ def pack_flow_to(flow: jax.Array, hw: Tuple[int, int]) -> jax.Array:
     return flow.reshape(B, N, hw[0], r, hw[1], r, 2).mean((3, 5)) / r
 
 
-def make_flow_actor(net, eps: float = 1e-3) -> Callable:
+# Multi-scale supervision weights, coarse decoders first (PWC-Net's
+# training loss, arXiv:1709.02371 sec. 4: alpha = 0.32/0.08/0.02/0.01/0.005
+# for flow6..flow2). Final-flow-only supervision measurably stalls: the
+# coarse decoders see no usable gradient through 5 stacked refinement
+# stages and the net collapses to a constant (observed: EPE pinned at the
+# mean GT norm for 3k steps).
+_PWC_LEVEL_WEIGHTS = {6: 0.32, 5: 0.08, 4: 0.02, 3: 0.01, 2: 0.005}
+
+
+def make_flow_actor(net, eps: float = 1e-3,
+                    multiscale: bool = True) -> Callable:
     """EPE supervision of a flow net on the synthesis pipeline's exact
     dense flow labels (PWC pretraining — see ``models/pwcnet.BurstFlowNet``).
 
@@ -57,14 +67,42 @@ def make_flow_actor(net, eps: float = 1e-3) -> Callable:
     ``ref(p) ~= oth(p + f(p))`` — so the supervision target is the
     NEGATED synthesis flow, pooled to the packed grid (verified
     numerically in ``tests/test_flow_pretrain.py``).
+
+    With ``multiscale=True`` (default, required for from-scratch
+    convergence) every decoder level's raw flow is supervised against the
+    block-averaged target in the shared raw unit (1/20 of
+    preprocessed-full-res px — the same convention the backwarp scale
+    table 20/2^L encodes).
     """
 
     def actor(params, batch) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        pred = net.apply(params, batch["burst"])       # [B, N-1, h, w, 2]
-        gt = pack_flow_to(-batch["flow"][:, 1:], pred.shape[2:4])
+        if multiscale:
+            pred, aux = net.apply(params, batch["burst"],
+                                  return_pyramid=True)
+        else:
+            pred = net.apply(params, batch["burst"])   # [B, N-1, h, w, 2]
+        h, w = pred.shape[2:4]
+        gt = pack_flow_to(-batch["flow"][:, 1:], (h, w))
         d = pred - gt
         epe = jnp.sqrt((d * d).sum(-1) + eps * eps)
-        loss = epe.mean()
+
+        if multiscale:
+            from dbsr_tpu.ops.interp import resize_bilinear
+
+            Hp, Wp = aux["preprocessed_hw"]
+            # packed-grid px -> raw units (1/20 preprocessed px), x then y
+            unit = jnp.array([Wp / w, Hp / h], jnp.float32) / 20.0
+            gt_raw = (gt * unit).reshape((-1, h, w, 2))
+            loss = jnp.float32(0.0)
+            for lvl, f in aux["pyramid"].items():
+                lh, lw = f.shape[-3], f.shape[-2]
+                tgt = resize_bilinear(gt_raw, (lh, lw))
+                fd = f.astype(jnp.float32).reshape(-1, lh, lw, 2) - tgt
+                l_epe = jnp.sqrt((fd * fd).sum(-1) + eps * eps).mean()
+                loss = loss + _PWC_LEVEL_WEIGHTS[lvl] * l_epe
+        else:
+            loss = epe.mean()
+
         stats = {"Loss/total": loss, "Stat/epe": epe.mean(),
                  "Stat/acc_0.5px": (epe < 0.5).mean()}
         return loss, stats

@@ -228,6 +228,10 @@ class Trainer:
             pending.append((step_stats, bs))
             if (i + 1) % self.print_interval == 0 or (i + 1) == n:
                 flush()
+                # NOTE: on remote runtimes that pipeline execution behind
+                # dispatch, this reflects dispatch+stat-fetch rate, which
+                # can run ahead of device execution; epoch wall time
+                # (checkpoint cadence) is the authoritative throughput.
                 fps = samples_done / (time.perf_counter() - t0)
                 line = f"[{loader.name}: {self.epoch}, {i + 1}/{n}] " \
                        f"FPS: {fps:.1f}, " + ", ".join(

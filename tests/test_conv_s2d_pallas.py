@@ -1,0 +1,110 @@
+"""Fine-patch s2d conv kernel (ops/conv_s2d_pallas.py): interpret-mode
+parity vs the fine-resolution conv oracle, fwd + both grads. Compiled
+parity runs on-chip via util_scripts/tpu_parity_check.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dbsr_tpu.models.layers import depth_to_space_phase_major
+from dbsr_tpu.ops.conv_s2d_pallas import (_conv3x3_block_impl, block_weight,
+                                          conv3x3_s2d_auto)
+
+C = O = 32
+
+
+def space_to_depth_pm(x, r=2):
+    """Inverse of depth_to_space_phase_major (phase-major)."""
+    B, H, W, c = x.shape
+    x = x.reshape(B, H // r, r, W // r, r, c)
+    x = jnp.moveaxis(x, (2, 4), (3, 4))   # [B, H2, W2, qy, qx, c]
+    return x.reshape(B, H // r, W // r, r * r * c)
+
+
+def fine_conv(x_fine, k):
+    return jax.lax.conv_general_dilated(
+        x_fine, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _data(seed, B=2, H2=16, W2=16):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, H2, W2, 4 * C).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, C, O).astype(np.float32) * 0.1)
+    return x, k
+
+
+def test_s2d_roundtrip_helpers():
+    x, _ = _data(0)
+    fine = depth_to_space_phase_major(x, 2)
+    np.testing.assert_array_equal(np.asarray(space_to_depth_pm(fine)),
+                                  np.asarray(x))
+
+
+def test_forward_matches_fine_conv():
+    x, k = _data(1)
+    out = _conv3x3_block_impl(x, block_weight(k), interpret=True)
+    want = space_to_depth_pm(fine_conv(depth_to_space_phase_major(x, 2), k))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_block_weight_nonzero_structure():
+    _, k = _data(2)
+    W = np.asarray(block_weight(jnp.ones_like(k)))
+    # exactly 9 of 16 patch positions contribute per (phase, tap) combo
+    nz = (np.abs(W) > 0).reshape(16, C, 4, O)
+    per_phase = nz.any(axis=(1, 3)).sum(axis=0)
+    assert (per_phase == 9).all()
+
+
+def test_gradients_match_fine_conv():
+    x, k = _data(3)
+    g_rng = np.random.RandomState(4)
+    cot = jnp.asarray(g_rng.randn(*x.shape[:-1], 4 * O).astype(np.float32))
+
+    def pallas_loss(x, k):
+        from dbsr_tpu.ops import conv_s2d_pallas as m
+        # route the custom_vjp through interpret-mode pallas
+        out = m._conv3x3_block_impl(x, m.block_weight(k), interpret=True)
+        return (out * cot).sum()
+
+    def oracle_loss(x, k):
+        out = space_to_depth_pm(
+            fine_conv(depth_to_space_phase_major(x, 2), k))
+        return (out * cot).sum()
+
+    # forward impl equality already checked; here check the custom_vjp
+    # rules themselves against the oracle's autodiff
+    from dbsr_tpu.ops import conv_s2d_pallas as m
+    dx_o, dk_o = jax.grad(oracle_loss, argnums=(0, 1))(x, k)
+
+    # d_input rule: same kernel with flipped/transposed weights
+    k_rot = jnp.flip(k, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx_p = m._conv3x3_block_impl(cot, m.block_weight(k_rot), interpret=True)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_o),
+                               atol=2e-3, rtol=1e-4)
+
+    # d_kernel rule: fine-res filter-grad conv
+    x_fine = depth_to_space_phase_major(x, 2)
+    g_fine = depth_to_space_phase_major(cot, 2)
+
+    def fc(kk):
+        return jax.lax.conv_general_dilated(
+            x_fine, kk, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    _, vjp = jax.vjp(fc, k)
+    (dk_p,) = vjp(g_fine)
+    np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_o),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_auto_dispatch_falls_back_off_tpu():
+    x, k = _data(5)
+    out = conv3x3_s2d_auto(x, k)  # CPU backend -> structured-dense path
+    want = space_to_depth_pm(fine_conv(depth_to_space_phase_major(x, 2), k))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)

@@ -95,3 +95,26 @@ def test_cost_volume_dispatch_cpu():
     # center channel (no displacement) is mean over channels of 1*1 = 1
     center = correlation.NUM_OFFSETS // 2
     np.testing.assert_allclose(np.asarray(out[..., center]), 1.0)
+
+
+def test_pallas_backward_kernel_interpret_matches_xla_vjp():
+    """The one-pass Pallas backward (both grads) == XLA formulation's VJP
+    (interpret mode; compiled parity runs on-chip via tpu_parity_check)."""
+    import jax
+
+    from dbsr_tpu.ops.correlation import (_correlation_pallas_bwd_impl,
+                                          correlation_xla)
+
+    rng = np.random.RandomState(3)
+    first = jnp.asarray(rng.randn(2, 10, 12, 16).astype(np.float32))
+    second = jnp.asarray(rng.randn(2, 10, 12, 16).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 10, 12, 81).astype(np.float32))
+
+    df_p, ds_p = _correlation_pallas_bwd_impl(first, second, g,
+                                              interpret=True)
+    _, vjp = jax.vjp(correlation_xla, first, second)
+    df_x, ds_x = vjp(g)
+    np.testing.assert_allclose(np.asarray(df_p), np.asarray(df_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ds_p), np.asarray(ds_x),
+                               atol=1e-5)

@@ -142,3 +142,40 @@ def test_visualize_writes_panels_and_viewer(val_root, tiny_ckpt, tmp_path):
     for e in data:
         for rel in e["panes"].values():
             assert os.path.exists(os.path.join(d, rel))
+
+
+def test_batched_scores_independent_of_batch_size(val_root, tiny_ckpt):
+    """Per-burst protocol scores must be identical whatever the forward
+    batching (tail padding discards the padded rows)."""
+    nets = [NetworkParam(checkpoint_path=tiny_ckpt, display_name="tiny")]
+    ds = _dataset(val_root)
+    per = [synburst.compute_score(nets, val_root, boundary_ignore=4,
+                                  with_lpips=False, dataset=ds,
+                                  batch_size=bs) for bs in (1, 2, 3, 8)]
+    for s in per[1:]:
+        assert s["psnr"]["tiny"] == pytest.approx(per[0]["psnr"]["tiny"],
+                                                  abs=1e-5)
+        assert s["ssim"]["tiny"] == pytest.approx(per[0]["ssim"]["tiny"],
+                                                  abs=1e-6)
+
+
+def test_iter_burst_batches_and_padding(val_root):
+    ds = _dataset(val_root)
+    batches = list(synburst._iter_burst_batches(ds, 3, 2, None))
+    assert [b[1].shape[0] for b in batches] == [2, 1]
+    names = [m["burst_name"] for metas, _, _ in batches for m in metas]
+    assert len(set(names)) == 3
+    tail = synburst._pad_to(batches[-1][1], 4)
+    assert tail.shape[0] == 4
+    np.testing.assert_array_equal(tail[1], tail[3])  # repeats last row
+
+    # propagates reader errors
+    class Broken:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(synburst._iter_burst_batches(Broken(), 2, 2, None))

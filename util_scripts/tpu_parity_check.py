@@ -172,6 +172,52 @@ def check_resample(dtype_tol_default, tol_highest):
     _check("resample 432 d=1 strict-warp highest", got1, want1, tol_highest)
 
 
+def check_conv_s2d(dtype, tol, B=2, H2=24, W2=24):
+    """Fine-patch s2d conv kernel (ops/conv_s2d_pallas.py) vs the
+    structured-dense XLA formulation: fwd + d_input, compiled."""
+    from dbsr_tpu.models.layers import s2d_conv_kernel
+    from dbsr_tpu.ops.conv_s2d_pallas import (block_weight,
+                                              conv3x3_s2d_pallas)
+
+    C = O = 32
+    tag = f"conv_s2d {B}x{H2}x{W2} {jnp.dtype(dtype).name}"
+    k1, k2, k3 = jax.random.split(jax.random.key(31), 3)
+    x = jax.random.normal(k1, (B, H2, W2, 4 * C), dtype)
+    k = jax.random.normal(k2, (3, 3, C, O), jnp.float32) * 0.1
+    cot = jax.random.normal(k3, (B, H2, W2, 4 * O), dtype)
+
+    def oracle(x, k):
+        # f32 operands throughout (mixed-dtype cotangents break the conv
+        # transpose otherwise); the precision flag models the dtype's MXU
+        # semantics — HIGHEST = exact f32 (what the Pallas kernel does
+        # with f32 inputs), DEFAULT = bf16-truncated operands with f32
+        # accumulation (what it does with bf16 inputs).
+        K = s2d_conv_kernel(k)
+        prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), K.astype(jnp.float32), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    out_p = jax.jit(conv3x3_s2d_pallas)(x, k)
+    out_x = jax.jit(oracle)(x, k)
+    _check(f"{tag} fwd", out_p, out_x, tol)
+
+    def loss_p(x, k):
+        return (conv3x3_s2d_pallas(x, k).astype(jnp.float32)
+                * cot.astype(jnp.float32)).sum()
+
+    def loss_x(x, k):
+        return (oracle(x, k).astype(jnp.float32)
+                * cot.astype(jnp.float32)).sum()
+
+    gx_p, gk_p = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(x, k)
+    gx_x, gk_x = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(x, k)
+    _check(f"{tag} d_input", gx_p, gx_x, tol)
+    _check(f"{tag} d_kernel", gk_p, gk_x, tol)
+
+
 def main():
     print(f"devices: {jax.devices()}")
     assert jax.default_backend() != "cpu", (
@@ -193,6 +239,9 @@ def main():
         check_merge((2, 8, 48, 48, 512), dtype, tol)
     # affine band-resample (synthesis) kernel
     check_resample(dtype_tol_default=2e-2, tol_highest=1e-5)
+    # fine-patch s2d conv (decoder post-shuffle stage)
+    for dtype, tol in ((jnp.float32, 1e-4), (jnp.bfloat16, 3e-2)):
+        check_conv_s2d(dtype, tol)
 
     if FAILURES:
         print(f"FAILED: {FAILURES}")
