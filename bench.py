@@ -49,16 +49,35 @@ V5E_PEAK_BF16_FLOPS = 197e12
 
 
 def _analytic_flops(fn, *args):
-    """FLOPs of one invocation from XLA's HLO cost analysis (lowered,
-    unoptimized module — no remote compile needed). None if unavailable."""
+    """FLOPs of one invocation from XLA's HLO cost analysis.
+
+    The axon AOT backend returns no cost analysis, so the computation is
+    lowered for the CPU backend instead — with ``DBSR_DISABLE_PALLAS=1``
+    so every kernel dispatch takes its XLA oracle formulation (TPU
+    ``pallas_call``s refuse to lower for CPU; the oracles' analytic FLOPs
+    are the honest algorithmic-work numerator for MFU anyway). Only
+    abstract shapes are lowered — nothing runs. None if unavailable."""
+    import os
+
+    env_before = os.environ.get("DBSR_DISABLE_PALLAS")
+    os.environ["DBSR_DISABLE_PALLAS"] = "1"
     try:
-        ca = jax.jit(fn).lower(*args).cost_analysis()
+        shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.result_type(x)), args)
+        with jax.default_device(jax.devices("cpu")[0]):
+            ca = jax.jit(fn).lower(*shapes).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
         f = float(ca.get("flops", 0.0))
         return f if f > 0 else None
     except Exception:
         return None
+    finally:
+        if env_before is None:
+            del os.environ["DBSR_DISABLE_PALLAS"]
+        else:
+            os.environ["DBSR_DISABLE_PALLAS"] = env_before
 
 # Training-step metric (reference publishes no training throughput either;
 # nominal estimate for the reference's B=16 bf16-equivalent train step on a
@@ -131,14 +150,22 @@ def bench_train_step():
 
     bursts_per_sec = TRAIN_BATCH * TRAIN_ITERS / best
 
-    def one_step(params, opt_state, crops):
+    # FLOP numerator: the algorithmic fine-resolution formulation
+    # (fused_s2d_decoder=False; identical params/checkpoints) — the s2d
+    # decoder layout computes 4x FLOPs in the post-shuffle stage as a
+    # speed trade, and counting that inflation would overstate MFU.
+    net_count = dbsrnet_cvpr2021(train_alignment=False, dtype=jnp.bfloat16,
+                                 fused_s2d_decoder=False)
+    actor_count = make_synthetic_actor(net_count, boundary_ignore=40)
+
+    def one_step_count(params, opt_state, crops):
         batch = synthesize_batch(jax.random.key(7), crops, cfg)
         loss, grads = jax.value_and_grad(
-            lambda p: actor(p, batch)[0])(params)
+            lambda p: actor_count(p, batch)[0])(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    step_flops = _analytic_flops(one_step, params, opt_state, crops0)
+    step_flops = _analytic_flops(one_step_count, params, opt_state, crops0)
     mfu = None
     if step_flops:
         mfu = round(step_flops * TRAIN_ITERS / best
@@ -197,8 +224,11 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     bursts_per_sec = BATCH * ITERS / best
-    fwd_flops = _analytic_flops(lambda p, b: net.apply(p, b)[0], params,
-                                burst)
+    # count FLOPs against the fine-resolution decoder formulation (same
+    # params) — see the note in bench_train_step
+    net_count = dbsrnet_cvpr2021(fused_s2d_decoder=False)
+    fwd_flops = _analytic_flops(lambda p, b: net_count.apply(p, b)[0],
+                                params, burst)
     out = {
         "metric": "synburst_eval_forward_throughput",
         "value": round(bursts_per_sec, 3),

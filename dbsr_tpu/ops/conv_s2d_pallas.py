@@ -243,11 +243,13 @@ def conv3x3_s2d_auto(x: jax.Array, kernel: jax.Array,
     making this win; until then the dense formulation stays the default.
     """
     import os
+
+    from dbsr_tpu.ops.backend import pallas_enabled
     B, H2, W2, C4 = x.shape
     O = kernel.shape[-1]
     itemsize = jnp.dtype(x.dtype).itemsize
     ok = (os.environ.get("DBSR_FINE_PATCH_S2D") == "1"
-          and jax.default_backend() == "tpu"
+          and pallas_enabled()
           and kernel.shape[0] == 3 and kernel.shape[1] == 3
           and C4 % 128 == 0 and (4 * O) % 128 == 0
           and W2 % 8 == 0

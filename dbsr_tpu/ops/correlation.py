@@ -218,7 +218,8 @@ def cost_volume(first: jax.Array, second: jax.Array,
     XLA formulation elsewhere (CPU tests, interpret-mode debugging).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from dbsr_tpu.ops.backend import pallas_enabled
+        use_pallas = pallas_enabled()
     if use_pallas:
         return correlation_pallas(first, second)
     return correlation_xla(first, second)

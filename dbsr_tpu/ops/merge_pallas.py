@@ -162,6 +162,7 @@ def merge_auto(feat: jax.Array, logits: jax.Array) -> jax.Array:
     otherwise (CPU tests, odd shapes)."""
     B, N, H, W, C = feat.shape
     TP, TC = _tiles(H * W, C, feat.dtype)
-    if jax.default_backend() == "tpu" and TP is not None and TC is not None:
+    from dbsr_tpu.ops.backend import pallas_enabled
+    if pallas_enabled() and TP is not None and TC is not None:
         return fused_softmax_merge(feat, logits)
     return fused_softmax_merge_xla(feat, logits)

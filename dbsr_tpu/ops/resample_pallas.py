@@ -217,7 +217,8 @@ def affine_resample(image: jax.Array, invs: jax.Array,
     """
     band = band_rows_needed(max_rotation_deg, d, out_hw[1])
     H = image.shape[0]
-    use_pallas = (jax.default_backend() == "tpu" and band <= min(64, H)
+    from dbsr_tpu.ops.backend import pallas_enabled
+    use_pallas = (pallas_enabled() and band <= min(64, H)
                   and image.ndim == 3)
     if use_pallas:
         return _resample_prim(image, invs, out_hw, d, border, band,

@@ -323,7 +323,8 @@ def warp_auto(feat: jax.Array, flow: jax.Array,
               min_channels: int = 128) -> jax.Array:
     """Dispatch: Pallas one-hot-matmul warp on TPU for wide channels (where
     it beats gathers), XLA gather formulation otherwise."""
-    use_pallas = (jax.default_backend() == "tpu"
+    from dbsr_tpu.ops.backend import pallas_enabled
+    use_pallas = (pallas_enabled()
                   and feat.ndim == 4
                   and feat.shape[-1] >= min_channels)
     if use_pallas:

@@ -108,3 +108,16 @@ def test_auto_dispatch_falls_back_off_tpu():
     want = space_to_depth_pm(fine_conv(depth_to_space_phase_major(x, 2), k))
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_pallas_enabled_env_override(monkeypatch):
+    """DBSR_DISABLE_PALLAS=1 forces the XLA oracle dispatch everywhere
+    (A/B measurement + CPU-backend FLOP counting, bench.py)."""
+    import jax
+
+    from dbsr_tpu.ops.backend import pallas_enabled
+
+    monkeypatch.delenv("DBSR_DISABLE_PALLAS", raising=False)
+    assert pallas_enabled() == (jax.default_backend() == "tpu")
+    monkeypatch.setenv("DBSR_DISABLE_PALLAS", "1")
+    assert not pallas_enabled()
