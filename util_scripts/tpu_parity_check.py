@@ -218,6 +218,36 @@ def check_conv_s2d(dtype, tol, B=2, H2=24, W2=24):
     _check(f"{tag} d_kernel", gk_p, gk_x, tol)
 
 
+def check_backwarp(shape, dtype, tol):
+    """MXU hat-matrix backwarp (ops/interp.py:backwarp_matmul) vs the
+    gather formulation at PWC decoder level shapes, fwd + grads."""
+    from dbsr_tpu.ops.interp import backwarp, backwarp_matmul
+
+    tag = f"backwarp {shape} {jnp.dtype(dtype).name}"
+    B, H, W, C = shape
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    im = jax.random.normal(k1, shape, jnp.float32).astype(dtype)
+    flow = (0.15 * max(H, W) *
+            jax.random.normal(k2, (B, H, W, 2), jnp.float32)).astype(dtype)
+
+    out_m = jax.jit(backwarp_matmul)(im, flow)
+    out_g = jax.jit(backwarp)(im, flow)
+    _check(f"{tag} fwd", out_m, out_g, tol)
+
+    cot = jax.random.normal(k3, out_g.shape, jnp.float32).astype(dtype)
+
+    def loss(fn, x, fl):
+        return (fn(x, fl) * cot).sum()
+
+    gm = jax.jit(jax.grad(lambda x, fl: loss(backwarp_matmul, x, fl),
+                          argnums=(0, 1)))(im, flow)
+    gg = jax.jit(jax.grad(lambda x, fl: loss(backwarp, x, fl),
+                          argnums=(0, 1)))(im, flow)
+    _check(f"{tag} dim", gm[0], gg[0], tol)
+    _check(f"{tag} dflow", gm[1], gg[1],
+           tol * (4.0 if dtype == jnp.bfloat16 else 1.0))
+
+
 def main():
     print(f"devices: {jax.devices()}")
     assert jax.default_backend() != "cpu", (
@@ -237,6 +267,10 @@ def main():
     for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
         check_merge((2, 14, 48, 48, 512), dtype, tol)
         check_merge((2, 8, 48, 48, 512), dtype, tol)
+    # MXU hat-matrix backwarp at PWC decoder level shapes
+    for dtype, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        check_backwarp((2, 16, 16, 64), dtype, tol)
+        check_backwarp((2, 32, 32, 32), dtype, tol)
     # affine band-resample (synthesis) kernel
     check_resample(dtype_tol_default=2e-2, tol_highest=1e-5)
     # fine-patch s2d conv (decoder post-shuffle stage)
