@@ -80,7 +80,12 @@ def make_data(settings, cfg, steps_per_epoch: int, val_batches: int = 200,
                    ProceduralPoolBatcher(val_pool, B, val_batches),
                    training=False, epoch_interval=val_interval),
     ]
-    return loaders, make_pool_prepare_fn(cfg, B), False
+    # Multi-host: each process feeds its local pool slice and the jitted
+    # step sees the assembled global pool; draw batch_size crops PER
+    # PROCESS so the global batch is batch_size * process_count — the
+    # same contract as the CropBatcher path (trainer.py:76-88).
+    global_b = B * jax.process_count()
+    return loaders, make_pool_prepare_fn(cfg, global_b), False
 
 
 def find_pretrained_flow(settings):

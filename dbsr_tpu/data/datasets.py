@@ -142,8 +142,20 @@ class SyntheticBurstVal:
 
     def __init__(self, root: str, burst_size: int = 14,
                  cv2_channel_order: Optional[bool] = None,
-                 num_bursts: int = 300):
+                 num_bursts: Optional[int] = None):
+        """``num_bursts=None`` infers the set size from the ``gt/``
+        directory (generated sets may be smaller/larger than the
+        reference's 300, e.g. ``parity_campaign.py --val_bursts``)."""
         self.root = root
+        if num_bursts is None:
+            gt_dir = os.path.join(root, "gt")
+            if os.path.isdir(gt_dir):
+                num_bursts = sum(
+                    1 for d in os.listdir(gt_dir)
+                    if d.isdigit() and os.path.isdir(
+                        os.path.join(gt_dir, d)))
+            if not num_bursts:
+                num_bursts = 300  # reference set size
         self.burst_list = list(range(num_bursts))
         self.burst_size = burst_size
         if cv2_channel_order is None:

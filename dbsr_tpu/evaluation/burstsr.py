@@ -107,17 +107,23 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
             return out, pred_m, valid
 
         vals = {m: [] for m in metric_names}
+        # Defer metric fetches: queue per-burst device results and pull
+        # them in one device_get after the loop (a per-burst float() sync
+        # serializes on dispatch latency over remote runtimes).
+        pending = []
         for idx in range(n_bursts):
             sample = dataset[idx]
             burst = jnp.asarray(sample["burst"][:n.burst_sz]
                                 if n.burst_sz else sample["burst"])
             gt = jnp.asarray(sample["frame_gt"])
             s, pred_m, valid = eval_one(params, burst, gt)
-            vals["psnr"].append(float(s["psnr"]))
-            vals["ssim"].append(float(s["ssim"]))
+            pending.append(s)
             if lpips_fn:
                 vals["lpips"].append(
                     float(lpips_fn(pred_m[0], gt, boundary_ignore)))
+        for s in jax.device_get(pending):
+            vals["psnr"].append(float(s["psnr"]))
+            vals["ssim"].append(float(s["ssim"]))
         for m in metric_names:
             scores_all[m][name] = float(np.mean(vals[m]))
 

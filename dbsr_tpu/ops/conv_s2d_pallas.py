@@ -253,7 +253,11 @@ def conv3x3_s2d_auto(x: jax.Array, kernel: jax.Array,
           and kernel.shape[0] == 3 and kernel.shape[1] == 3
           and C4 % 128 == 0 and (4 * O) % 128 == 0
           and W2 % 8 == 0
-          and _row_block(H2, W2, C4, 4 * O, itemsize) > 0)
+          and _row_block(H2, W2, C4, 4 * O, itemsize) > 0
+          # the custom-VJP d_input kernel runs with channels swapped
+          # (g: 4*O -> C4); it must fit a row band too or jax.grad
+          # crashes on the Tr > 0 assert despite a clean forward
+          and _row_block(H2, W2, 4 * O, C4, itemsize) > 0)
     if force is not None:
         ok = force
     if not ok:

@@ -17,6 +17,9 @@ contract as the reference).
 import argparse
 import importlib
 import os
+import time
+
+_T0 = time.perf_counter()
 
 
 def _load_experiment(name):
@@ -58,7 +61,10 @@ def main():
     env = env_settings()
     network_params = _load_experiment(args.experiment)
     workspace = env.workspace_dir
+    print(f"[timing] process init (imports + env) {time.perf_counter() - _T0:.1f}s",
+          flush=True)
 
+    scores = None
     if args.benchmark == "synburst":
         root = args.dataset_root or env.synburstval_dir
         from dbsr_tpu.evaluation import synburst as ev
@@ -69,10 +75,6 @@ def main():
                 with_lpips=not args.no_lpips,
                 lpips_weights=args.lpips_weights,
                 max_bursts=args.max_bursts)
-            if args.json:
-                import json
-                with open(args.json, "w") as f:
-                    json.dump(scores, f, indent=2)
         elif args.action == "save_results":
             out = args.out_dir or os.path.join(workspace, "synburst_results")
             ev.save_results(network_params, root, out,
@@ -92,10 +94,6 @@ def main():
                                       with_lpips=not args.no_lpips,
                                       lpips_weights=args.lpips_weights,
                                       max_bursts=args.max_bursts)
-            if args.json:
-                import json
-                with open(args.json, "w") as f:
-                    json.dump(scores, f, indent=2)
         elif args.action == "save_results":
             out = args.out_dir or os.path.join(workspace, "burstsr_results")
             ev.save_results(network_params, root, out,
@@ -106,6 +104,11 @@ def main():
             visualize_burstsr(network_params, root, out,
                               workspace_dir=workspace,
                               max_bursts=args.max_bursts or 5)
+
+    if args.json and scores is not None:
+        import json
+        with open(args.json, "w") as f:
+            json.dump(scores, f, indent=2)
 
 
 if __name__ == "__main__":

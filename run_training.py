@@ -54,8 +54,15 @@ def main():
             extra[k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):
             extra[k] = v
-    run_training(args.module, args.config, batch_size=args.batch_size,
-                 multi_device=not args.single_device, **extra)
+    # --set may name batch_size/multi_device too; explicit flags win,
+    # but don't crash on the duplicate keyword.
+    if args.batch_size is not None:
+        extra["batch_size"] = args.batch_size
+    extra.setdefault("batch_size", None)
+    if args.single_device:
+        extra["multi_device"] = False
+    extra.setdefault("multi_device", True)
+    run_training(args.module, args.config, **extra)
 
 
 if __name__ == "__main__":

@@ -179,3 +179,20 @@ def test_iter_burst_batches_and_padding(val_root):
 
     with pytest.raises(RuntimeError, match="boom"):
         list(synburst._iter_burst_batches(Broken(), 2, 2, None))
+
+
+def test_u16_transfer_roundtrip_exact():
+    """_host_u16/_dev_f32 must be bit-exact for 2^14-scaled PNG data —
+    the eval protocol's transfer encoding halves relay bytes and must not
+    perturb scores."""
+    rng = np.random.default_rng(0)
+    ints = rng.integers(0, 2**14 + 1, size=(2, 5, 6, 3), dtype=np.uint16)
+    f = ints.astype(np.float32) / (2**14)
+    u = synburst._host_u16(f)
+    assert u.dtype == np.uint16
+    np.testing.assert_array_equal(u, ints)
+    back = np.asarray(synburst._dev_f32(jnp.asarray(u)))
+    np.testing.assert_array_equal(back, f)
+    # f32 passthrough is a no-op
+    same = synburst._dev_f32(jnp.asarray(f))
+    np.testing.assert_array_equal(np.asarray(same), f)

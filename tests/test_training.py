@@ -180,3 +180,30 @@ def test_checkpoint_roundtrip_with_dtype(tmp_path):
     p1, _ = net.apply(params, burst)
     p2, _ = net2.apply(params2, burst)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_memoized_put_identity_cache():
+    """_memoized_put re-places only when the source array changes —
+    epoch-constant pool handles must not be re-distributed per step."""
+    from dbsr_tpu.training.trainer import _memoized_put
+
+    calls = []
+
+    def put(b):
+        calls.append(b)
+        return b * 2
+
+    mput = _memoized_put(put)
+    a = jnp.arange(4.0)  # device arrays (the pool-handle case) memoize
+    out1 = mput(a)
+    out2 = mput(a)
+    assert out2 is out1 and len(calls) == 1
+    b = jnp.arange(4.0)
+    mput(b)
+    assert len(calls) == 2
+    # host arrays (mutable in place) are never cached — every call
+    # re-places
+    d = np.zeros(2)
+    mput(d)
+    mput(d)
+    assert len(calls) == 4

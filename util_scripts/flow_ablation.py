@@ -39,15 +39,27 @@ ARM_OVERRIDES = {
 }
 
 
-def sh(args, timeout, env, log_path):
-    print(f"+ {' '.join(args)} (timeout {timeout}s)", flush=True)
-    with open(log_path, "a") as log:
-        log.write(f"\n===== {time.strftime('%F %T')} {' '.join(args)}\n")
-        log.flush()
-        p = subprocess.run(args, cwd=REPO, env=env, stdout=log,
-                           stderr=subprocess.STDOUT, timeout=timeout)
-    if p.returncode != 0:
-        raise RuntimeError(f"{args[:3]}... rc={p.returncode}; see {log_path}")
+def sh(args, timeout, env, log_path, retries: int = 3):
+    """Run a stage subprocess; a timeout (wedged relay) or failure is
+    retried — training/eval stages resume from their checkpoints, same
+    semantics as ``parity_campaign.sh``."""
+    for attempt in range(retries):
+        print(f"+ {' '.join(args)} (timeout {timeout}s)", flush=True)
+        with open(log_path, "a") as log:
+            log.write(f"\n===== {time.strftime('%F %T')} {' '.join(args)}\n")
+            log.flush()
+            try:
+                p = subprocess.run(args, cwd=REPO, env=env, stdout=log,
+                                   stderr=subprocess.STDOUT, timeout=timeout)
+                rc = p.returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+        if rc == 0:
+            return
+        print(f"  attempt {attempt + 1} rc={rc}; see {log_path}",
+              flush=True)
+    raise RuntimeError(f"{args[:3]}... failed {retries} times; "
+                       f"see {log_path}")
 
 
 def main(argv=None):
