@@ -213,6 +213,34 @@ grad = jax.jit(jax.grad(loss),
 import numpy.linalg  # noqa: F401  (keep numpy referenced)
 want_grad = 2.0 * (full @ np.ones(3))[:, None] * full / GLOBAL_B
 np.testing.assert_allclose(np.asarray(grad), want_grad.sum(0), rtol=1e-5)
+
+# procedural-pool path (configs/dbsr/default_synthetic.py multi-host
+# contract): each process feeds its DECORRELATED local pool slice,
+# global_batch_from_local assembles the global pool, and the jitted step
+# draws batch_size * process_count crops from it
+from dbsr_tpu.data.procedural import (ProceduralImagePool,
+                                      ProceduralPoolBatcher,
+                                      make_pool_prepare_fn)
+from dbsr_tpu.data.synthetic import BurstConfig
+
+cfg = BurstConfig(burst_size=2, crop_sz=(16, 16), downsample_factor=2,
+                  border_crop=2, max_translation=2.0, max_rotation=0.5)
+batcher = ProceduralPoolBatcher(
+    ProceduralImagePool(2, cfg.pre_crop_sz, seed=1, chunk=2,
+                        num_leaves=10),
+    batch_size=2, num_batches=1)
+batcher.fold_in_process(pid)  # what Trainer.__init__ does multi-host
+local_pool = batcher.next_batch()
+print(f"POOLSUM {pid} {int(np.asarray(local_pool).astype(np.int64).sum())}",
+      flush=True)
+global_pool = global_batch_from_local(mesh, local_pool)
+assert global_pool.shape[0] == 2 * local_pool.shape[0], global_pool.shape
+
+prepare = make_pool_prepare_fn(cfg, batch_size=2 * 2)  # B * process_count
+sample = jax.jit(prepare)(jax.random.key(5), global_pool)
+burst = sample["burst"]
+assert burst.shape[0] == 4, burst.shape
+assert np.isfinite(np.asarray(jnp.sum(burst.astype(jnp.float32)))), "NaN"
 print(f"proc {pid} OK", flush=True)
 """
 
@@ -257,3 +285,11 @@ def test_multihost_two_process_cpu(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i} OK" in out
+    # decorrelation: the two processes' local pools must differ
+    sums = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("POOLSUM "):
+                _, p_id, s = line.split()
+                sums[p_id] = s
+    assert len(sums) == 2 and sums["0"] != sums["1"], sums
