@@ -207,3 +207,26 @@ def test_memoized_put_identity_cache():
     mput(d)
     mput(d)
     assert len(calls) == 4
+
+
+def test_cli_main_smoke_tiny(tmp_path, monkeypatch):
+    """Drive the actual training CLI (argparse -> --set overrides ->
+    config run -> checkpoint) end to end, including batch_size passed
+    BOTH as a flag and via --set — a duplicate-keyword crash shipped
+    until this path was covered."""
+    import json
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.syspath_prepend(repo)
+    env_path = tmp_path / "env.json"
+    env_path.write_text(json.dumps({"workspace_dir": str(tmp_path)}))
+    monkeypatch.setenv("DBSR_TPU_ENV", str(env_path))
+    import run_training as cli
+    monkeypatch.setattr(sys, "argv", [
+        "run_training.py", "dbsr", "smoke_tiny",
+        "--batch_size", "2", "--single_device",
+        "--set", "batch_size=2", "--set", "multi_device=True"])
+    cli.main()
+    ckpts = list((tmp_path / "dbsr" / "smoke_tiny").glob("*.ckpt"))
+    assert ckpts, "no checkpoint written by the smoke run"
