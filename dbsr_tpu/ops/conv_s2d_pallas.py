@@ -228,6 +228,22 @@ def _bwd(res, g):
 conv3x3_s2d_pallas.defvjp(_fwd, _bwd)
 
 
+def _shapes_dispatchable(x_shape, kernel_shape, dtype) -> bool:
+    """Lane/VMEM dispatch gate for the fine-patch kernel. Both matmul
+    orientations must fit a row band: the forward contracts C4 -> 4*O
+    but the custom-VJP d_input kernel runs with channels swapped
+    (g: 4*O -> C4) — gating on the forward alone admits shapes whose
+    backward crashes on the Tr > 0 assert despite a clean forward."""
+    B, H2, W2, C4 = x_shape
+    O = kernel_shape[-1]
+    itemsize = jnp.dtype(dtype).itemsize
+    return (kernel_shape[0] == 3 and kernel_shape[1] == 3
+            and C4 % 128 == 0 and (4 * O) % 128 == 0
+            and W2 % 8 == 0
+            and _row_block(H2, W2, C4, 4 * O, itemsize) > 0
+            and _row_block(H2, W2, 4 * O, C4, itemsize) > 0)
+
+
 def conv3x3_s2d_auto(x: jax.Array, kernel: jax.Array,
                      force: bool = None) -> jax.Array:
     """Dispatch: fine-patch Pallas kernel on TPU when the lane/VMEM
@@ -245,19 +261,9 @@ def conv3x3_s2d_auto(x: jax.Array, kernel: jax.Array,
     import os
 
     from dbsr_tpu.ops.backend import pallas_enabled
-    B, H2, W2, C4 = x.shape
-    O = kernel.shape[-1]
-    itemsize = jnp.dtype(x.dtype).itemsize
     ok = (os.environ.get("DBSR_FINE_PATCH_S2D") == "1"
           and pallas_enabled()
-          and kernel.shape[0] == 3 and kernel.shape[1] == 3
-          and C4 % 128 == 0 and (4 * O) % 128 == 0
-          and W2 % 8 == 0
-          and _row_block(H2, W2, C4, 4 * O, itemsize) > 0
-          # the custom-VJP d_input kernel runs with channels swapped
-          # (g: 4*O -> C4); it must fit a row band too or jax.grad
-          # crashes on the Tr > 0 assert despite a clean forward
-          and _row_block(H2, W2, 4 * O, C4, itemsize) > 0)
+          and _shapes_dispatchable(x.shape, kernel.shape, x.dtype))
     if force is not None:
         ok = force
     if not ok:

@@ -121,3 +121,20 @@ def test_pallas_enabled_env_override(monkeypatch):
     assert pallas_enabled() == (jax.default_backend() == "tpu")
     monkeypatch.setenv("DBSR_DISABLE_PALLAS", "1")
     assert not pallas_enabled()
+
+
+def test_dispatch_gate_requires_backward_band():
+    """A shape whose forward band fits VMEM but whose d_input orientation
+    (channels swapped, g: 4*O -> C4) does not must NOT dispatch to the
+    kernel — jax.grad crashed on the Tr > 0 assert despite a clean
+    forward until the gate checked both orientations."""
+    from dbsr_tpu.ops.conv_s2d_pallas import _row_block, _shapes_dispatchable
+
+    H2, W2, C4, O4 = 8, 96, 128, 2048  # f32: fwd band fits, bwd does not
+    assert _row_block(H2, W2, C4, O4, 4) > 0
+    assert _row_block(H2, W2, O4, C4, 4) == 0
+    assert not _shapes_dispatchable(
+        (1, H2, W2, C4), (3, 3, C4 // 4, O4 // 4), jnp.float32)
+    # a symmetric decoder-like shape passes the gate
+    assert _shapes_dispatchable(
+        (1, 96, 96, 128), (3, 3, 32, 32), jnp.bfloat16)
