@@ -152,6 +152,34 @@ def save_results(network_params: List[NetworkParam], dataset_root: str,
                 write_png(os.path.join(d, f"{meta['burst_name']}.png"), arr)
 
 
+def _make_score_batch(boundary_ignore: int, with_msssim: bool):
+    """Jitted per-sample protocol metrics over a batch (per-burst values
+    averaged at the end, reference ``compute_score.py:112-121``)."""
+
+    @jax.jit
+    def score_batch(preds, gts):
+        preds = _dev_f32(preds)
+        gts = _dev_f32(gts)
+
+        def one(pred, gt):
+            out = {
+                "psnr": M.psnr(pred[None], gt[None],
+                               boundary_ignore=boundary_ignore),
+                "ssim": M.ssim_metric(pred[None], gt[None],
+                                      boundary_ignore=boundary_ignore),
+            }
+            if with_msssim:
+                b = boundary_ignore
+                out["msssim"] = M.msssim(
+                    pred[None, b:-b, b:-b] if b else pred[None],
+                    gt[None, b:-b, b:-b] if b else gt[None])
+            return out
+
+        return jax.vmap(one)(preds, gts)
+
+    return score_batch
+
+
 def compute_score(network_params: List[NetworkParam], dataset_root: str,
                   workspace_dir: str = "",
                   saved_results_root: Optional[str] = None,
@@ -182,29 +210,7 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
     scores_all: Dict[str, Dict[str, float]] = {m: {} for m in metric_names}
 
     batch_size = min(batch_size, n_bursts)
-
-    @jax.jit
-    def score_batch(preds, gts):
-        """Per-sample metrics over the batch (protocol: per-burst values
-        averaged at the end, reference ``compute_score.py:112-121``)."""
-        preds = _dev_f32(preds)
-        gts = _dev_f32(gts)
-
-        def one(pred, gt):
-            out = {
-                "psnr": M.psnr(pred[None], gt[None],
-                               boundary_ignore=boundary_ignore),
-                "ssim": M.ssim_metric(pred[None], gt[None],
-                                      boundary_ignore=boundary_ignore),
-            }
-            if with_msssim:
-                b = boundary_ignore
-                out["msssim"] = M.msssim(
-                    pred[None, b:-b, b:-b] if b else pred[None],
-                    gt[None, b:-b, b:-b] if b else gt[None])
-            return out
-
-        return jax.vmap(one)(preds, gts)
+    score_batch = _make_score_batch(boundary_ignore, with_msssim)
 
     names = []
     for n in network_params:
@@ -280,4 +286,78 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
 
     report = generate_formatted_report(names, scores_all)
     print(report)
+    return scores_all
+
+
+def compute_score_trajectory(module: str, parameter: str, dataset_root: str,
+                             workspace_dir: str = "",
+                             net_name: str = "dbsr_synthetic",
+                             epochs: Optional[List[int]] = None,
+                             boundary_ignore: int = 40,
+                             with_msssim: bool = False,
+                             max_bursts: Optional[int] = None,
+                             burst_sz: Optional[int] = None,
+                             dataset=None, batch_size: int = 8) -> Dict:
+    """Score EVERY checkpoint of a training run in one process (model-zoo
+    trajectory scoring; no reference analog — their ``compute_score.py``
+    loads one net per process).
+
+    Per-checkpoint ``compute_score`` invocations each pay process init,
+    val-set host->device transfer, and jit compile/retrieval. Here the val
+    batches are staged on device ONCE and one fused scored-forward graph
+    is reused for all epochs (the architecture is constant across a run;
+    params are a traced argument), so a 10-checkpoint trajectory costs one
+    eval's transfers plus per-epoch device time. LPIPS is not supported on
+    this path (it needs host-visible predictions — use ``compute_score``
+    with an explicit epoch). Returns the ``compute_score`` dict shape:
+    ``{metric: {"<module>_<parameter>_epNNNN": value}}``, epoch-sorted.
+    """
+    from dbsr_tpu.training.checkpoint import list_checkpoints, load_network
+
+    dataset = dataset or SyntheticBurstVal(dataset_root)
+    n_bursts = min(len(dataset), max_bursts or len(dataset))
+    batch_size = min(batch_size, n_bursts)
+
+    ckpt_dir = os.path.join(workspace_dir, module, parameter)
+    all_ck = list_checkpoints(ckpt_dir, net_name)
+    if epochs is not None:
+        want = set(epochs)
+        all_ck = [(e, p) for e, p in all_ck if e in want]
+    if not all_ck:
+        raise FileNotFoundError(
+            f"no checkpoints for {module}/{parameter} in {ckpt_dir}")
+
+    score_batch = _make_score_batch(boundary_ignore, with_msssim)
+    net, _, _ = load_network(all_ck[0][1])
+    scored_forward = _scored_forward_fn(net, score_batch)
+
+    # stage the val set on device once, reused across every epoch
+    staged = []
+    for _, bursts, gts in _iter_burst_batches(
+            dataset, n_bursts, batch_size, burst_sz, u16_transfer=True):
+        staged.append((bursts.shape[0],
+                       jnp.asarray(_pad_to(bursts, batch_size)),
+                       jnp.asarray(_pad_to(gts, batch_size))))
+
+    metric_names = ["psnr", "ssim"] + (["msssim"] if with_msssim else [])
+    scores_all: Dict[str, Dict[str, float]] = {m: {} for m in metric_names}
+    names = []
+    for e, path in all_ck:
+        params = load_network(path)[1]
+        pending = [(nb, scored_forward(params, b, g))
+                   for nb, b, g in staged]
+        host = jax.device_get([s for _, s in pending])
+        vals = {m: [] for m in metric_names}
+        for (nb, _), s in zip(pending, host):
+            for m in metric_names:
+                vals[m] += list(s[m][:nb])
+        name = f"{module}_{parameter}_ep{e:04d}"
+        names.append(name)
+        for m in metric_names:
+            scores_all[m][name] = float(np.mean(vals[m]))
+        print("[trajectory] " + name + ": " + ", ".join(
+            f"{m}={scores_all[m][name]:.4f}" for m in metric_names),
+            flush=True)
+
+    print(generate_formatted_report(names, scores_all))
     return scores_all

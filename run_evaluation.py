@@ -45,6 +45,10 @@ def main():
                         "DBSR_TPU_LPIPS_WEIGHTS / pretrained-nets dir)")
     p.add_argument("--json", default=None, metavar="PATH",
                    help="also write compute_score results as JSON")
+    p.add_argument("--all_epochs", action="store_true",
+                   help="score EVERY checkpoint epoch of the experiment's "
+                        "first network in one process (val set staged on "
+                        "device once, one compiled graph; no LPIPS)")
     args = p.parse_args()
 
     if args.load_saved and not args.out_dir:
@@ -56,6 +60,11 @@ def main():
         p.error("--load_saved is only supported for the synburst benchmark "
                 "(burstsr scoring needs the burst inputs for spatial-color "
                 "alignment, so it always runs the networks)")
+    if args.all_epochs and (args.benchmark != "synburst"
+                            or args.action != "compute_score"
+                            or args.load_saved):
+        p.error("--all_epochs only applies to synburst compute_score on "
+                "live networks")
 
     from dbsr_tpu.environment import env_settings
     env = env_settings()
@@ -68,7 +77,13 @@ def main():
     if args.benchmark == "synburst":
         root = args.dataset_root or env.synburstval_dir
         from dbsr_tpu.evaluation import synburst as ev
-        if args.action == "compute_score":
+        if args.action == "compute_score" and args.all_epochs:
+            n0 = network_params[0]
+            scores = ev.compute_score_trajectory(
+                n0.module, n0.parameter, root, workspace_dir=workspace,
+                net_name=n0.net_name, burst_sz=n0.burst_sz,
+                max_bursts=args.max_bursts)
+        elif args.action == "compute_score":
             scores = ev.compute_score(
                 network_params, root, workspace_dir=workspace,
                 saved_results_root=(args.out_dir if args.load_saved else None),

@@ -196,3 +196,37 @@ def test_u16_transfer_roundtrip_exact():
     # f32 passthrough is a no-op
     same = synburst._dev_f32(jnp.asarray(f))
     np.testing.assert_array_equal(np.asarray(same), f)
+
+
+def test_trajectory_matches_per_epoch_scores(val_root, tmp_path):
+    """compute_score_trajectory (one staged val set + one shared graph)
+    must reproduce per-epoch compute_score exactly."""
+    ws = str(tmp_path)
+    d = os.path.join(ws, "dbsr", "traj_cfg")
+    net = dbsrnet_tiny(upsample_factor=4)
+    burst = jnp.zeros((1, 3) + CFG.burst_hw + (4,))
+    for e, key in ((1, 11), (2, 22)):
+        params = net.init(jax.random.key(key), burst)
+        state = TrainState.create(params, optax.adam(1e-4))
+        save_checkpoint(d, "tiny_traj", e, state, net=net)
+
+    traj = synburst.compute_score_trajectory(
+        "dbsr", "traj_cfg", val_root, workspace_dir=ws,
+        net_name="tiny_traj", boundary_ignore=4, batch_size=2,
+        dataset=_dataset(val_root))
+    assert sorted(traj["psnr"]) == ["dbsr_traj_cfg_ep0001",
+                                    "dbsr_traj_cfg_ep0002"]
+
+    for e in (1, 2):
+        nets = [NetworkParam(module="dbsr", parameter="traj_cfg", epoch=e,
+                             net_name="tiny_traj")]
+        single = synburst.compute_score(
+            nets, val_root, workspace_dir=ws, boundary_ignore=4,
+            with_lpips=False, batch_size=2, dataset=_dataset(val_root))
+        key = f"dbsr_traj_cfg_ep{e:04d}"
+        for m in ("psnr", "ssim"):
+            assert traj[m][key] == pytest.approx(
+                list(single[m].values())[0], abs=1e-5), (m, e)
+    # the two differently-initialized epochs must not score identically
+    assert traj["psnr"]["dbsr_traj_cfg_ep0001"] != \
+        traj["psnr"]["dbsr_traj_cfg_ep0002"]
