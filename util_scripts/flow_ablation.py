@@ -42,8 +42,15 @@ ARM_OVERRIDES = {
 def sh(args, timeout, env, log_path, retries: int = 3):
     """Run a stage subprocess; a timeout (wedged relay) or failure is
     retried — training/eval stages resume from their checkpoints, same
-    semantics as ``parity_campaign.sh``."""
-    for attempt in range(retries):
+    semantics as ``parity_campaign.sh``. A backend outage pauses the
+    retry clock instead of consuming attempts
+    (``dbsr_tpu/utils/backend_probe.py``)."""
+    sys.path.insert(0, REPO)
+    from dbsr_tpu.utils.backend_probe import backend_ready, wait_for_backend
+
+    attempt = 0
+    while attempt < retries:
+        wait_for_backend(log=lambda m: print(m, flush=True))
         print(f"+ {' '.join(args)} (timeout {timeout}s)", flush=True)
         with open(log_path, "a") as log:
             log.write(f"\n===== {time.strftime('%F %T')} {' '.join(args)}\n")
@@ -56,8 +63,12 @@ def sh(args, timeout, env, log_path, retries: int = 3):
                 rc = -1
         if rc == 0:
             return
-        print(f"  attempt {attempt + 1} rc={rc}; see {log_path}",
-              flush=True)
+        if not backend_ready():
+            print(f"  rc={rc} during a backend outage — attempt not "
+                  "counted", flush=True)
+            continue
+        attempt += 1
+        print(f"  attempt {attempt} rc={rc}; see {log_path}", flush=True)
     raise RuntimeError(f"{args[:3]}... failed {retries} times; "
                        f"see {log_path}")
 

@@ -91,12 +91,24 @@ def main():
     py = sys.executable
 
     def run_with_retries(argv, timeout, what):
-        for attempt in range(args.max_retries):
+        from dbsr_tpu.utils.backend_probe import backend_ready, \
+            wait_for_backend
+        attempt = 0
+        while attempt < args.max_retries:
+            # A backend outage (relay/tunnel down) is not a stage failure:
+            # pause the retry clock until the accelerator is reachable
+            # again, instead of burning bounded attempts on claims that
+            # block for ~25 min and then fail UNAVAILABLE.
+            wait_for_backend(log=lambda m: print(f"{what}: {m}", flush=True))
             rc = sh(argv, timeout, env, log_path)
             if rc == 0:
                 return
-            print(f"{what}: attempt {attempt + 1} rc={rc}; retrying",
-                  flush=True)
+            if not backend_ready():
+                print(f"{what}: rc={rc} during a backend outage — attempt "
+                      "not counted", flush=True)
+                continue
+            attempt += 1
+            print(f"{what}: attempt {attempt} rc={rc}; retrying", flush=True)
         raise RuntimeError(f"{what} failed {args.max_retries} times; "
                            f"see {log_path}")
 
