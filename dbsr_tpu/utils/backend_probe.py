@@ -26,18 +26,40 @@ _PROBE_SNIPPET = "import jax; jax.devices()"
 
 
 def backend_ready(timeout: float = 90.0,
-                  probe_argv: Optional[Sequence[str]] = None) -> bool:
+                  probe_argv: Optional[Sequence[str]] = None,
+                  log: Optional[Callable[[str], None]] = None) -> bool:
     """True when a fresh process can initialize the JAX backend within
     ``timeout`` seconds. ``probe_argv`` overrides the probe command
-    (tests)."""
+    (tests). When ``log`` is given, a failed probe logs WHY: the last
+    stderr line for a fast nonzero exit (almost always a config error —
+    e.g. ``JAX_PLATFORMS`` naming an unregistered plugin because
+    ``PYTHONPATH`` was overridden — which no amount of polling fixes),
+    or a timeout note for a genuinely wedged relay."""
     argv = list(probe_argv) if probe_argv is not None else [
         sys.executable, "-c", _PROBE_SNIPPET]
     try:
-        return subprocess.run(
+        proc = subprocess.run(
             argv, timeout=timeout, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL).returncode == 0
+            stderr=subprocess.PIPE)
     except subprocess.TimeoutExpired:
+        if log is not None:
+            log(f"[backend_probe] probe timed out after {timeout:.0f}s "
+                "(backend init hanging — relay outage?)")
         return False
+    if proc.returncode == 0:
+        return True
+    if log is not None:
+        err_lines = [ln for ln in
+                     proc.stderr.decode("utf-8", "replace").splitlines()
+                     if ln.strip()]
+        tail = err_lines[-1] if err_lines else "(no stderr)"
+        log(f"[backend_probe] probe exited rc={proc.returncode}: {tail}")
+        if "not in the list of known backends" in tail:
+            log("[backend_probe] HINT: this is a configuration error, not "
+                "an outage — the JAX_PLATFORMS plugin is not importable in "
+                "the probe's environment (check PYTHONPATH includes the "
+                "plugin site dir); polling will never recover")
+    return False
 
 
 def wait_for_backend(poll_interval: float = 150.0,
@@ -48,7 +70,7 @@ def wait_for_backend(poll_interval: float = 150.0,
     """Block until :func:`backend_ready`; returns False if ``max_wait``
     elapses first. Logs once when waiting starts and once on recovery so
     driver logs show the outage window."""
-    if backend_ready(timeout=timeout, probe_argv=probe_argv):
+    if backend_ready(timeout=timeout, probe_argv=probe_argv, log=log):
         return True
     t0 = time.monotonic()
     log(f"[backend_probe] accelerator backend unreachable; polling every "
@@ -60,7 +82,7 @@ def wait_for_backend(poll_interval: float = 150.0,
                 f"{time.monotonic() - t0:.0f}s; giving up")
             return False
         time.sleep(poll_interval)
-        if backend_ready(timeout=timeout, probe_argv=probe_argv):
+        if backend_ready(timeout=timeout, probe_argv=probe_argv, log=log):
             log(f"[backend_probe] backend recovered after "
                 f"{time.monotonic() - t0:.0f}s")
             return True

@@ -26,6 +26,24 @@ def test_backend_ready_hang_times_out():
     assert time.monotonic() - t0 < 30
 
 
+def test_backend_ready_logs_stderr_reason():
+    """A fast nonzero exit logs the last stderr line so config errors
+    (unregistered JAX_PLATFORMS plugin) are diagnosable from driver logs."""
+    logs = []
+    bad = [sys.executable, "-c",
+           "import sys; print('boom: Backend axon is not in the list of "
+           "known backends', file=sys.stderr); sys.exit(1)"]
+    assert not backend_ready(probe_argv=bad, log=logs.append)
+    assert any("boom" in m for m in logs)
+    assert any("configuration error" in m for m in logs)
+
+
+def test_backend_ready_logs_timeout_reason():
+    logs = []
+    assert not backend_ready(timeout=1.0, probe_argv=HANG, log=logs.append)
+    assert any("timed out" in m for m in logs)
+
+
 def test_wait_for_backend_immediate():
     logs = []
     assert wait_for_backend(probe_argv=TRUE, log=logs.append)
