@@ -49,6 +49,11 @@ def main():
                    help="score EVERY checkpoint epoch of the experiment's "
                         "first network in one process (val set staged on "
                         "device once, one compiled graph; no LPIPS)")
+    p.add_argument("--epochs", default=None, metavar="E1,E2,...",
+                   help="with --all_epochs: score only these checkpoint "
+                        "epochs (comma-separated). Campaign drivers use "
+                        "this to score checkpoint batches incrementally "
+                        "while paying the val-set staging once per batch")
     args = p.parse_args()
 
     if args.load_saved and not args.out_dir:
@@ -65,6 +70,17 @@ def main():
                             or args.load_saved):
         p.error("--all_epochs only applies to synburst compute_score on "
                 "live networks")
+    epochs = None
+    if args.epochs is not None:
+        if not args.all_epochs:
+            p.error("--epochs requires --all_epochs")
+        try:
+            epochs = sorted({int(e) for e in args.epochs.split(",") if e})
+        except ValueError:
+            p.error(f"--epochs must be comma-separated integers, "
+                    f"got {args.epochs!r}")
+        if not epochs:
+            p.error("--epochs must name at least one epoch")
 
     from dbsr_tpu.environment import env_settings
     env = env_settings()
@@ -82,7 +98,7 @@ def main():
             scores = ev.compute_score_trajectory(
                 n0.module, n0.parameter, root, workspace_dir=workspace,
                 net_name=n0.net_name, burst_sz=n0.burst_sz,
-                max_bursts=args.max_bursts)
+                epochs=epochs, max_bursts=args.max_bursts)
         elif args.action == "compute_score":
             scores = ev.compute_score(
                 network_params, root, workspace_dir=workspace,

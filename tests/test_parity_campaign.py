@@ -1,0 +1,49 @@
+"""Unit tests for the parity-campaign driver's batched-eval helpers.
+
+The campaign (``util_scripts/parity_campaign.py``) scores checkpoints in
+batches through one trajectory-eval process; these pin the pure scheduling
+/ result-unpacking logic (which eval points are due, and how a
+``compute_score_trajectory`` JSON dict becomes per-epoch trajectory rows).
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "parity_campaign",
+    os.path.join(os.path.dirname(__file__), os.pardir, "util_scripts",
+                 "parity_campaign.py"))
+pc = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(pc)
+
+
+def test_pending_eval_epochs_basic():
+    # nothing scored: every multiple of eval_every up to now is pending
+    assert pc.pending_eval_epochs(5, 20, set()) == [5, 10, 15, 20]
+    # partially scored: only unscored points remain, order preserved
+    assert pc.pending_eval_epochs(5, 20, {5, 15}) == [10, 20]
+    # now not aligned to the cadence: trailing partial chunk is not due
+    assert pc.pending_eval_epochs(5, 23, {5, 10, 15, 20}) == []
+    assert pc.pending_eval_epochs(5, 4, set()) == []
+    # everything scored
+    assert pc.pending_eval_epochs(10, 30, {10, 20, 30}) == []
+
+
+def test_trajectory_rows_unpacks_epochs():
+    scores = {
+        "psnr": {"dbsr_default_synthetic_ep0005": 30.9,
+                 "dbsr_default_synthetic_ep0010": 31.6},
+        "ssim": {"dbsr_default_synthetic_ep0005": 0.90,
+                 "dbsr_default_synthetic_ep0010": 0.92},
+    }
+    rows = pc.trajectory_rows(scores, [5, 10])
+    assert rows == [{"epoch": 5, "psnr": 30.9, "ssim": 0.90},
+                    {"epoch": 10, "psnr": 31.6, "ssim": 0.92}]
+
+
+def test_trajectory_rows_missing_epoch_raises():
+    scores = {"psnr": {"net_ep0005": 30.9}}
+    with pytest.raises(RuntimeError, match="epoch 10"):
+        pc.trajectory_rows(scores, [5, 10])

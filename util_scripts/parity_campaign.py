@@ -52,6 +52,33 @@ def sh(args, timeout, env, log_path):
             return -1
 
 
+def pending_eval_epochs(eval_every, now, scored):
+    """Eval points (multiples of ``eval_every``, <= ``now``) whose epoch
+    is not in ``scored`` (a container of already-scored epochs)."""
+    return [e for e in range(eval_every, now + 1, eval_every)
+            if e not in scored]
+
+
+def trajectory_rows(scores, epochs):
+    """Per-epoch trajectory rows from a ``compute_score_trajectory`` JSON
+    dict ``{metric: {"<net>_epNNNN": value}}``. Raises if any requested
+    epoch has no scores (missing checkpoint upstream)."""
+    rows = []
+    for epoch in epochs:
+        suffix = f"_ep{epoch:04d}"
+        row = {"epoch": epoch}
+        for metric, per_net in scores.items():
+            vals = [v for k, v in per_net.items() if k.endswith(suffix)]
+            if vals:
+                row[metric] = vals[0]
+        if len(row) == 1:
+            raise RuntimeError(
+                f"trajectory eval returned no scores for epoch {epoch} "
+                "(missing checkpoint?)")
+        rows.append(row)
+    return rows
+
+
 def latest_epoch(ws, sub, name):
     import glob
     import re
@@ -70,6 +97,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=5,
                     help="epochs per training subprocess")
     ap.add_argument("--eval_every", type=int, default=5)
+    ap.add_argument("--eval_batch", type=int, default=4,
+                    help="trajectory-score checkpoints in batches of this "
+                         "many eval points (one eval process pays the "
+                         "val-set staging + compile retrieval ONCE per "
+                         "batch instead of per checkpoint)")
     ap.add_argument("--val_bursts", type=int, default=300)
     ap.add_argument("--pwc_epochs", type=int, default=15)
     ap.add_argument("--chunk_timeout", type=int, default=7200)
@@ -132,24 +164,45 @@ def main():
             args.eval_timeout, "val set generation")
     print("val set ready", flush=True)
 
-    def eval_latest(epoch):
-        out_json = os.path.join(ws, f"eval_ep{epoch:04d}.json")
-        if os.path.exists(out_json):
+    def eval_marker(epoch):
+        return os.path.join(ws, f"eval_ep{epoch:04d}.json")
+
+    def pending_evals(now):
+        scored = {e for e in range(args.eval_every, now + 1,
+                                   args.eval_every)
+                  if os.path.exists(eval_marker(e))}
+        return pending_eval_epochs(args.eval_every, now, scored)
+
+    def eval_epochs(epochs):
+        """Score a BATCH of checkpoints in one trajectory-eval process
+        (val set staged on device once, one compiled graph — per-epoch
+        eval processes each paid ~30s compile retrieval + ~150s val-set
+        transfer over the relay). Per-epoch JSON markers keep resumption
+        idempotent at eval-point granularity."""
+        if not epochs:
             return
+        out_json = os.path.join(
+            ws, f"eval_traj_{epochs[0]:04d}_{epochs[-1]:04d}.json")
         run_with_retries(
             [py, "run_evaluation.py", "synburst", "compute_score",
-             "dbsr_default", "--no_lpips", "--json", out_json],
-            args.eval_timeout, f"eval@{epoch}")
+             "dbsr_default", "--no_lpips", "--all_epochs",
+             "--epochs", ",".join(str(e) for e in epochs),
+             "--json", out_json],
+            args.eval_timeout, f"eval@{epochs}")
         with open(out_json) as f:
             scores = json.load(f)
-        row = {"epoch": epoch, "time": time.strftime("%F %T")}
-        for metric, per_net in scores.items():
-            row[metric] = next(iter(per_net.values()))
-        with open(traj_path, "a") as f:
-            f.write(json.dumps(row) + "\n")
-        print(f"trajectory: {row}", flush=True)
+        for row in trajectory_rows(scores, epochs):
+            epoch = row["epoch"]
+            row["time"] = time.strftime("%F %T")
+            suffix = f"_ep{epoch:04d}"
+            with open(eval_marker(epoch), "w") as f:
+                json.dump({m: {f"dbsr_default_synthetic{suffix}": row[m]}
+                           for m in scores}, f, indent=2)
+            with open(traj_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            print(f"trajectory: {row}", flush=True)
 
-    # ---- 3. chunked training + periodic eval ----
+    # ---- 3. chunked training + batched periodic eval ----
     while True:
         done = latest_epoch(ws, "dbsr/default_synthetic", "dbsr_synthetic")
         if done >= args.epochs:
@@ -160,10 +213,11 @@ def main():
              "--set", f"epochs={target}"],
             args.chunk_timeout, f"train to {target}")
         now = latest_epoch(ws, "dbsr/default_synthetic", "dbsr_synthetic")
-        if now % args.eval_every == 0 or now >= args.epochs:
-            eval_latest(now)
+        pend = pending_evals(now)
+        if len(pend) >= args.eval_batch or now >= args.epochs:
+            eval_epochs(pend)
 
-    eval_latest(args.epochs)
+    eval_epochs(pending_evals(args.epochs))
     print("campaign complete", flush=True)
 
 
