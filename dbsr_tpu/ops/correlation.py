@@ -210,16 +210,34 @@ def _corr_bwd(res, g):
 correlation_pallas.defvjp(_corr_fwd, _corr_bwd)
 
 
+# Largest spatial plane (H*W) the single-block kernels compile for.
+# Empirical scoped-VMEM envelope on v5e (16 MB stack limit): 16x16 passes
+# at every PWC channel width (up to C=196); 24x24 @ C=64 and 32x32 @ C=64
+# both OOM the unrolled 81-offset pipeline (22.96M / >16M scoped allocs).
+# Every DBSR production shape (48x48 packed burst -> 64-preprocessed PWC,
+# levels 16/8/4/2/1) is inside the envelope; larger planes (e.g. the d=1
+# flow-pretraining task's 128-preprocessed pyramid, standalone PWC demos)
+# fall back to the XLA formulation, which fuses well at those sizes.
+_MAX_PALLAS_PLANE = 16 * 16
+
+
+def fits_pallas_envelope(shape: Tuple[int, ...]) -> bool:
+    """True when the correlation kernels' scoped-VMEM footprint is known
+    to fit for ``[B, H, W, C]`` (see ``_MAX_PALLAS_PLANE``)."""
+    return shape[-3] * shape[-2] <= _MAX_PALLAS_PLANE
+
+
 def cost_volume(first: jax.Array, second: jax.Array,
                 use_pallas: bool = None) -> jax.Array:
     """81-channel local cost volume (public entry).
 
-    ``use_pallas=None`` auto-selects: the Pallas kernel on TPU backends, the
-    XLA formulation elsewhere (CPU tests, interpret-mode debugging).
+    ``use_pallas=None`` auto-selects: the Pallas kernel on TPU backends for
+    shapes inside the VMEM envelope, the XLA formulation elsewhere (CPU
+    tests, interpret-mode debugging, oversized planes).
     """
     if use_pallas is None:
         from dbsr_tpu.ops.backend import pallas_enabled
-        use_pallas = pallas_enabled()
+        use_pallas = pallas_enabled() and fits_pallas_envelope(first.shape)
     if use_pallas:
         return correlation_pallas(first, second)
     return correlation_xla(first, second)

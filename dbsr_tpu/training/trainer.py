@@ -254,7 +254,11 @@ class Trainer:
                     state, step_stats = self._train_step(state, k, crops)
                 else:
                     step_stats = self._eval_step(state, k, crops)
-            bs = jax.tree_util.tree_leaves(crops)[0].shape[0]
+            # Pool-handle loaders yield the whole HBM pool, not a batch —
+            # count the configured batch size, not the handle's leading
+            # dim (which inflated FPS by pool_size/batch_size).
+            bs = getattr(loader.batcher, "batch_size", None) \
+                or jax.tree_util.tree_leaves(crops)[0].shape[0]
             samples_done += bs
             pending.append((step_stats, bs))
             if (i + 1) % self.print_interval == 0 or (i + 1) == n:

@@ -118,3 +118,16 @@ def test_pallas_backward_kernel_interpret_matches_xla_vjp():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(ds_p), np.asarray(ds_x),
                                atol=1e-5)
+
+
+def test_vmem_envelope_gate():
+    """Planes above 16x16 must auto-route to the XLA formulation: the
+    single-block Pallas kernels' scoped-VMEM stack exceeds v5e's 16 MB
+    limit there (measured: 22.96M @ 24x24xC64, 38.05M @ 32x32xC32 — found
+    live when the d=1 flow-pretrain task fed a 128-preprocessed pyramid)."""
+    from dbsr_tpu.ops.correlation import fits_pallas_envelope
+
+    assert fits_pallas_envelope((24, 16, 16, 196))
+    assert fits_pallas_envelope((1, 8, 32, 64))     # plane 256
+    assert not fits_pallas_envelope((24, 24, 24, 64))
+    assert not fits_pallas_envelope((24, 32, 32, 32))
