@@ -224,7 +224,8 @@ def _warped_ones(coords: jax.Array, H: int, W: int) -> jax.Array:
 
 def _hat_weights(coords: jax.Array, n: int) -> jax.Array:
     """Bilinear "hat" weight matrix ``[..., P, n]`` for 1-D sample
-    coordinates ``[..., P]``: ``max(0, 1 - |coord - i|)``.
+    coordinates ``[..., P]`` in the floor-tap convention:
+    ``(1-frac)`` at column ``floor(c)`` and ``frac`` at ``floor(c)+1``.
 
     Row i of the result holds exactly the zeros-border bilinear tap
     weights of coordinate i over the n in-bounds source positions (an
@@ -232,10 +233,26 @@ def _hat_weights(coords: jax.Array, n: int) -> jax.Array:
     identical to :func:`sample_bilinear`'s ``padding_mode='zeros'``).
     Built elementwise on the VPU in f32 (coordinate math must never ride
     the MXU at DEFAULT precision — see PERF.md round-2 precision audit).
+
+    The values equal ``max(0, 1 - |c - i|)``, but the derivative does
+    not: that form's subgradient at exact-integer coordinates is 0
+    (``d|x|/dx = 0`` at 0), while the gather VJP (and torch
+    ``grid_sample``, reference ``pwcnet.py:16-38``) differentiates
+    through ``frac = c - floor(c)`` and yields the one-sided difference
+    ``im[i+1] - im[i]``. bf16 flows land on exact kinks with ~1% rate
+    (e.g. flow 1.875 -> offset exactly 2.0 after the ``W/(W-1)`` scale),
+    which made the two dflow conventions diverge at isolated pixels (up
+    to 34% of the grad scale — on-chip parity catch, round 3). The
+    one-hot-tap form below has the gather convention's derivative
+    everywhere: ``dA/dc = onehot(floor(c)+1) - onehot(floor(c))``.
     """
+    c = coords.astype(jnp.float32)
+    i0 = jax.lax.stop_gradient(jnp.floor(c))[..., None]
+    frac = c[..., None] - i0
     idx = jnp.arange(n, dtype=jnp.float32)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(
-        coords.astype(jnp.float32)[..., None] - idx))
+    oh0 = (idx == i0).astype(jnp.float32)
+    oh1 = (idx == i0 + 1.0).astype(jnp.float32)
+    return (1.0 - frac) * oh0 + frac * oh1
 
 
 def backwarp_matmul(im: jax.Array, flow: jax.Array) -> jax.Array:

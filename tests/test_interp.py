@@ -225,3 +225,28 @@ def test_backwarp_auto_dispatches_by_size_and_backend():
     flow = jnp.ones((1, 6, 6, 2), jnp.float32) * 0.3
     np.testing.assert_array_equal(np.asarray(interp.backwarp_auto(im, flow)),
                                   np.asarray(interp.backwarp(im, flow)))
+
+
+def test_backwarp_matmul_dflow_matches_gather_at_exact_kinks():
+    """At exact-integer sample coordinates (bilinear kinks) the dflow
+    must follow the gather/torch floor-tap convention (one-sided
+    difference im[i+1]-im[i]), not the hat |.|-subgradient (0). bf16
+    flows land on kinks with ~1% rate (e.g. flow 1.875 -> offset exactly
+    2.0 after the W/(W-1) scale), which made the two conventions diverge
+    by 34% of grad scale at isolated pixels — on-chip parity catch,
+    round 3."""
+    H = W = 16
+    im = jax.random.normal(jax.random.key(2), (1, H, W, 8), jnp.float32)
+    # flow whose effective displacement flow * W/(W-1) is EXACTLY integer
+    flow = jnp.full((1, H, W, 2), 1.875, jnp.float32)  # 1.875*16/15 == 2
+    cot = jax.random.normal(jax.random.key(3), (1, H, W, 8), jnp.float32)
+
+    def loss(fn, f, x):
+        return (fn(x, f) * cot).sum()
+
+    g_ref = jax.grad(lambda f, x: loss(interp.backwarp, f, x))(flow, im)
+    g_new = jax.grad(lambda f, x: loss(interp.backwarp_matmul, f, x))(
+        flow, im)
+    assert float(jnp.abs(g_ref).max()) > 0.1  # kink grads are non-zero
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
