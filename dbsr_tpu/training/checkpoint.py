@@ -101,6 +101,29 @@ def save_checkpoint(directory: str, net_name: str, epoch: int, state,
     return path
 
 
+def save_params_artifact(path: str, src_header: dict, state) -> str:
+    """Write a PARAMS-ONLY checkpoint (same container format, header
+    flagged ``params_only``) — graft/eval material small enough to keep
+    in git so it survives workspace wipes. Trainers refuse to resume
+    from it (no optimizer state)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    header = {k: src_header[k] for k in
+              ("epoch", "net_name", "stats", "settings", "net_spec")
+              if k in src_header}
+    header["params_only"] = True
+    header_bytes = json.dumps(header).encode()
+    blob = serialization.msgpack_serialize(
+        serialization.to_state_dict(state))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(_struct.pack("<Q", len(header_bytes)))
+        f.write(header_bytes)
+        f.write(blob)
+    os.rename(tmp, path)
+    return path
+
+
 def _read(path: str) -> Tuple[dict, bytes]:
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
@@ -146,6 +169,11 @@ def load_checkpoint(path: str, state_template=None):
     config — the reference's ``load_network`` path)."""
     header, blob = _read(path)
     if state_template is not None:
+        if header.get("params_only"):
+            raise ValueError(
+                f"{path} is a params-only artifact (graft/eval material, "
+                "no optimizer state) — cannot restore a train state from "
+                "it; load without a template and use the params subtree")
         state = serialization.from_bytes(state_template, blob)
     else:
         state = serialization.msgpack_restore(blob)

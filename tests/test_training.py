@@ -230,3 +230,33 @@ def test_cli_main_smoke_tiny(tmp_path, monkeypatch):
     cli.main()
     ckpts = list((tmp_path / "dbsr" / "smoke_tiny").glob("*.ckpt"))
     assert ckpts, "no checkpoint written by the smoke run"
+
+
+def test_params_only_artifact_roundtrip_and_resume_guard(tmp_path):
+    """save_params_artifact keeps the params subtree loadable (graft/eval
+    path) but load_checkpoint with a state template must refuse it —
+    params-only artifacts are reset-proof graft material, not resume
+    points (round 3: a VM reset cost the campaign workspace)."""
+    net = dbsrnet_tiny(upsample_factor=4, flow_net="conv")
+    burst = jnp.zeros((1, 3) + TINY_CFG.burst_hw + (4,))
+    state = TrainState.create(net.init(jax.random.key(0), burst),
+                              optax.adam(1e-4))
+    src = ckpt.save_checkpoint(str(tmp_path), "tiny", 7, state, net=net)
+    header, raw = ckpt.load_checkpoint(src)
+
+    art = ckpt.save_params_artifact(
+        str(tmp_path / "tiny_params.ckpt"), header,
+        {"params": raw["params"]})
+    aheader, araw = ckpt.load_checkpoint(art)
+    assert aheader["params_only"] and aheader["epoch"] == 7
+    assert "net_spec" in aheader
+    got = jax.tree_util.tree_leaves(araw["params"])
+    want = jax.tree_util.tree_leaves(raw["params"])
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    # artifact is much smaller than the full checkpoint (no Adam moments)
+    assert os.path.getsize(art) < 0.55 * os.path.getsize(src)
+
+    with pytest.raises(ValueError, match="params-only"):
+        ckpt.load_checkpoint(art, state)

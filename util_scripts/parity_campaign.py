@@ -145,12 +145,35 @@ def main():
                            f"see {log_path}")
 
     # ---- 1. PWC pretraining (idempotent: resumes / no-ops when done) ----
+    # A wiped workspace (VM reset) is reseeded from the repo-baked
+    # params-only artifact when one exists at the target epoch count —
+    # skips the ~30 min pretrain stage and keeps the protocol identical.
+    artifact = os.path.join(REPO, "dbsr_tpu", "artifacts",
+                            "pwcnet_synth_params.ckpt")
+    pwc_dir = os.path.join(ws, "pwcnet", "pretrain_synthetic")
+    if (latest_epoch(ws, "pwcnet/pretrain_synthetic", "pwcnet_synth") == 0
+            and os.path.exists(artifact)):
+        sys.path.insert(0, REPO)
+        from dbsr_tpu.training.checkpoint import _read
+        epoch = _read(artifact)[0]["epoch"]
+        if epoch >= args.pwc_epochs:
+            import shutil
+            os.makedirs(pwc_dir, exist_ok=True)
+            dst = os.path.join(pwc_dir, f"pwcnet_synth_ep{epoch:04d}.ckpt")
+            shutil.copyfile(artifact, dst)
+            print(f"seeded pretrained flow from repo artifact ({dst})",
+                  flush=True)
     if latest_epoch(ws, "pwcnet/pretrain_synthetic",
                     "pwcnet_synth") < args.pwc_epochs:
         run_with_retries(
             [py, "run_training.py", "pwcnet", "pretrain_synthetic",
              "--set", f"epochs={args.pwc_epochs}"],
             args.chunk_timeout, "pwc pretrain")
+        rc = sh([py, "util_scripts/export_pretrained_flow.py",
+                 "--workspace", ws], 600, env, log_path)
+        print(f"pretrained-flow artifact export rc={rc} "
+              "(commit dbsr_tpu/artifacts/ to make it reset-proof)",
+              flush=True)
     print("PWC pretrain done", flush=True)
 
     # ---- 2. frozen procedural val set (strict kernel) ----
