@@ -47,3 +47,43 @@ def test_trajectory_rows_missing_epoch_raises():
     scores = {"psnr": {"net_ep0005": 30.9}}
     with pytest.raises(RuntimeError, match="epoch 10"):
         pc.trajectory_rows(scores, [5, 10])
+
+
+def test_seed_pretrained_flow(tmp_path):
+    """Reset recovery: a wiped workspace is seeded from the repo-baked
+    params-only artifact only when the artifact's epoch meets the
+    pretrain target; an existing workspace checkpoint wins."""
+    import json
+    import struct
+
+    def write_ckpt(path, epoch):
+        header = json.dumps({"epoch": epoch, "params_only": True}).encode()
+        with open(path, "wb") as f:
+            f.write(b"DBSRTPU1")
+            f.write(struct.pack("<Q", len(header)))
+            f.write(header)
+            f.write(b"\x80")  # empty msgpack map
+
+    art = tmp_path / "pwcnet_synth_params.ckpt"
+    ws = tmp_path / "ws"
+    pwc_dir = ws / "pwcnet" / "pretrain_synthetic"
+
+    # artifact below the target epoch: not seeded (would trip the
+    # params-only resume guard downstream)
+    write_ckpt(art, 10)
+    assert pc.seed_pretrained_flow(str(ws), str(art), 15) == ""
+    assert not pwc_dir.exists()
+
+    # artifact at target: seeded, and the driver's pretrain gate sees it
+    write_ckpt(art, 15)
+    dst = pc.seed_pretrained_flow(str(ws), str(art), 15)
+    assert dst.endswith("pwcnet_synth_ep0015.ckpt") and os.path.exists(dst)
+    assert pc.latest_epoch(str(ws), "pwcnet/pretrain_synthetic",
+                           "pwcnet_synth") == 15
+
+    # idempotent: an existing workspace checkpoint suppresses reseeding
+    assert pc.seed_pretrained_flow(str(ws), str(art), 15) == ""
+
+    # missing artifact: no-op
+    assert pc.seed_pretrained_flow(str(tmp_path / "ws2"),
+                                   str(tmp_path / "nope.ckpt"), 15) == ""

@@ -90,6 +90,29 @@ def latest_epoch(ws, sub, name):
     return best
 
 
+def seed_pretrained_flow(ws: str, artifact: str, pwc_epochs: int) -> str:
+    """Seed a wiped workspace's pretrain directory from the repo-baked
+    params-only artifact (reset recovery). Only seeds when the workspace
+    has NO pretrain checkpoint and the artifact's epoch meets the target
+    (a short artifact would make the driver try to RESUME training from
+    params-only graft material, which trainers refuse). Returns the
+    seeded path or ''."""
+    if latest_epoch(ws, "pwcnet/pretrain_synthetic", "pwcnet_synth") > 0 \
+            or not os.path.exists(artifact):
+        return ""
+    sys.path.insert(0, REPO)
+    from dbsr_tpu.training.checkpoint import _read
+    epoch = _read(artifact)[0]["epoch"]
+    if epoch < pwc_epochs:
+        return ""
+    import shutil
+    pwc_dir = os.path.join(ws, "pwcnet", "pretrain_synthetic")
+    os.makedirs(pwc_dir, exist_ok=True)
+    dst = os.path.join(pwc_dir, f"pwcnet_synth_ep{epoch:04d}.ckpt")
+    shutil.copyfile(artifact, dst)
+    return dst
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workspace", required=True)
@@ -150,19 +173,10 @@ def main():
     # skips the ~30 min pretrain stage and keeps the protocol identical.
     artifact = os.path.join(REPO, "dbsr_tpu", "artifacts",
                             "pwcnet_synth_params.ckpt")
-    pwc_dir = os.path.join(ws, "pwcnet", "pretrain_synthetic")
-    if (latest_epoch(ws, "pwcnet/pretrain_synthetic", "pwcnet_synth") == 0
-            and os.path.exists(artifact)):
-        sys.path.insert(0, REPO)
-        from dbsr_tpu.training.checkpoint import _read
-        epoch = _read(artifact)[0]["epoch"]
-        if epoch >= args.pwc_epochs:
-            import shutil
-            os.makedirs(pwc_dir, exist_ok=True)
-            dst = os.path.join(pwc_dir, f"pwcnet_synth_ep{epoch:04d}.ckpt")
-            shutil.copyfile(artifact, dst)
-            print(f"seeded pretrained flow from repo artifact ({dst})",
-                  flush=True)
+    seeded = seed_pretrained_flow(ws, artifact, args.pwc_epochs)
+    if seeded:
+        print(f"seeded pretrained flow from repo artifact ({seeded})",
+              flush=True)
     if latest_epoch(ws, "pwcnet/pretrain_synthetic",
                     "pwcnet_synth") < args.pwc_epochs:
         run_with_retries(
