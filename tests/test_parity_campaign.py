@@ -87,3 +87,26 @@ def test_seed_pretrained_flow(tmp_path):
     # missing artifact: no-op
     assert pc.seed_pretrained_flow(str(tmp_path / "ws2"),
                                    str(tmp_path / "nope.ckpt"), 15) == ""
+
+
+def test_watchdog_should_kill_logic():
+    """Watchdog kills only when the log is stale AND the stage process
+    is old enough to be past first compile (fresh subprocesses print
+    nothing while compiling; resumes compile for up to ~8 min)."""
+    _spec2 = importlib.util.spec_from_file_location(
+        "campaign_watchdog",
+        os.path.join(os.path.dirname(__file__), os.pardir, "util_scripts",
+                     "campaign_watchdog.py"))
+    wd = importlib.util.module_from_spec(_spec2)
+    _spec2.loader.exec_module(wd)
+
+    now = 10_000.0
+    # silent log + old process: kill
+    assert wd.should_kill(now - 1000, 1000, now, stale=900)
+    # silent log but YOUNG process (still compiling): spare
+    assert not wd.should_kill(now - 1000, 300, now, stale=900)
+    # active log: spare regardless of age
+    assert not wd.should_kill(now - 30, 5000, now, stale=900)
+    # own-process finder never lists the caller
+    pids = [p for p, _ in wd.find_stage_pids("campaign_watchdog")]
+    assert os.getpid() not in pids
