@@ -243,7 +243,15 @@ def main():
 
 
 if __name__ == "__main__":
-    # train metric first; the eval-forward line stays LAST (the driver
-    # parses the final JSON line — unchanged metric since round 1)
-    bench_train_step()
-    main()
+    # A running parity campaign shares the single chip: pause its whole
+    # process tree (watchdog first, then driver, then stages) for the
+    # duration of the bench and resume it afterwards — a detached
+    # unpauser also resumes it if this process is killed mid-bench.
+    from dbsr_tpu.utils.chip_guard import ChipPause
+
+    with ChipPause():
+        # train metric first; the eval-forward line stays LAST (the
+        # driver parses the final JSON line — unchanged metric since
+        # round 1)
+        bench_train_step()
+        main()

@@ -107,6 +107,15 @@ def test_watchdog_should_kill_logic():
     assert not wd.should_kill(now - 1000, 300, now, stale=900)
     # active log: spare regardless of age
     assert not wd.should_kill(now - 30, 5000, now, stale=900)
+    # post-suspension grace: a log whose silence predates grace_start
+    # (the watchdog itself was SIGSTOPped by chip_guard during a bench)
+    # must NOT trigger a kill until `stale` seconds pass AFTER resume
+    assert not wd.should_kill(now - 2000, 5000, now, stale=900,
+                              grace_start=now - 60)
+    # ... but a stage still silent `stale` seconds after the grace point
+    # is genuinely wedged
+    assert wd.should_kill(now - 3000, 5000, now, stale=900,
+                          grace_start=now - 1000)
     # own-process finder never lists the caller
     pids = [p for p, _ in wd.find_stage_pids("campaign_watchdog")]
     assert os.getpid() not in pids

@@ -58,11 +58,19 @@ def pid_age(pid: int) -> float:
 
 
 def should_kill(log_mtime: float, pid_start_age: float, now: float,
-                stale: float) -> bool:
+                stale: float, grace_start: float = 0.0) -> bool:
     """Kill only when BOTH the log has been silent for ``stale`` seconds
     and the stage process is older than ``stale`` (a fresh subprocess
-    legitimately produces no log lines while compiling)."""
-    return (now - log_mtime) > stale and pid_start_age > stale
+    legitimately produces no log lines while compiling).
+
+    ``grace_start`` restarts the staleness clock: silence before that
+    instant doesn't count. Used after the watchdog detects it was itself
+    suspended (``bench.py``'s chip_guard SIGSTOPs the whole campaign tree
+    including this watchdog — on resume the log is legitimately
+    ~pause-duration old and the stage needs ``stale`` fresh seconds
+    before it can be called wedged; round 3 saw exactly this misfire)."""
+    return (now - max(log_mtime, grace_start)) > stale \
+        and pid_start_age > stale
 
 
 def main():
@@ -75,16 +83,27 @@ def main():
 
     print(f"watchdog: log={args.log} stale>{args.stale:.0f}s "
           f"pattern={args.pattern!r}", flush=True)
+    grace_start = time.time()  # startup grace: pre-existing silence
+    prev_wake = time.time()    # doesn't count against the stage
     while True:
         time.sleep(args.interval)
+        now = time.time()
+        if now - prev_wake > 3 * args.interval:
+            # We were suspended (chip_guard pause for an exclusive-chip
+            # bench) — the log's silence over that window is ours, not
+            # the stage's. Restart the staleness clock.
+            print(f"{time.strftime('%F %T')} watchdog: detected own "
+                  f"suspension of {now - prev_wake:.0f}s; restarting "
+                  "staleness clock", flush=True)
+            grace_start = now
+        prev_wake = now
         try:
             mtime = os.stat(args.log).st_mtime
         except OSError:
             continue
-        now = time.time()
         for pid, cmd in find_stage_pids(args.pattern):
             age = pid_age(pid)
-            if should_kill(mtime, age, now, args.stale):
+            if should_kill(mtime, age, now, args.stale, grace_start):
                 print(f"{time.strftime('%F %T')} watchdog: log silent "
                       f"{now - mtime:.0f}s, killing wedged stage pid "
                       f"{pid} ({cmd})", flush=True)
