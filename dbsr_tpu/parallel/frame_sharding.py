@@ -87,9 +87,15 @@ def masked_sharded_softmax_fusion(feats: jax.Array, logits: jax.Array,
 
 
 def dbsr_apply_frame_sharded(net, params, burst: jax.Array, mesh: Mesh,
-                             axis_name: str = "frame") -> jax.Array:
+                             axis_name: str = "frame",
+                             data_axis: str | None = None) -> jax.Array:
     """Run a ``DBSRNet`` forward with the burst-frame axis sharded over a
-    mesh axis — the sequence-parallel path for long bursts (N >> 14).
+    mesh axis — the sequence-parallel analog for long bursts (N >> 14).
+
+    With ``data_axis`` set, the batch axis is additionally sharded over
+    that mesh axis (2-D data x frame parallelism): every collective in
+    the fusion reduces over ``axis_name`` only, so data shards stay
+    independent — the standard DP x SP layout.
 
     Each shard receives the replicated reference frame plus its slice of
     the other frames, runs the per-frame encoder + PWC alignment and the
@@ -159,8 +165,9 @@ def dbsr_apply_frame_sharded(net, params, burst: jax.Array, mesh: Mesh,
         pred = dec_mod.apply(p_dec, fused)
         return pred.astype(jnp.float32)
 
+    bspec = P(data_axis) if data_axis else P()
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(None, axis_name)),
-        out_specs=P())
+        in_specs=(P(), P(), P(), bspec, P(data_axis, axis_name)),
+        out_specs=bspec)
     return fn(p_enc, p_mrg, p_dec, ref, oth)

@@ -115,6 +115,27 @@ def test_dbsr_frame_sharded_even_split():
                                atol=2e-5)
 
 
+def test_dbsr_frame_sharded_two_axis_data_x_frame():
+    """2-axis DP x SP: batch sharded over 'data' AND frames sharded over
+    'frame' on a 2x2 mesh must equal the dense forward. This is the
+    CI-speed version of the full-net 2-axis dryrun check
+    (__graft_entry__.dryrun_multichip under DBSR_DRYRUN_2AXIS)."""
+    from dbsr_tpu.models.dbsr import dbsrnet_tiny
+    from dbsr_tpu.parallel.frame_sharding import dbsr_apply_frame_sharded
+
+    mesh = make_mesh(4, ("data", "frame"), (2, 2))
+    net = dbsrnet_tiny(upsample_factor=4, flow_net="conv")
+    burst = jnp.asarray(
+        np.random.RandomState(2).rand(2, 14, 8, 8, 4).astype(np.float32))
+    params = net.init(jax.random.key(0), burst)
+
+    dense, _ = net.apply(params, burst)
+    sharded = dbsr_apply_frame_sharded(net, params, burst, mesh, "frame",
+                                       data_axis="data")
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               atol=2e-5)
+
+
 @pytest.mark.skipif(os.environ.get("DBSR_RUN_SLOW", "") in ("", "0"),
                     reason="full-PWC shard_map compile ~15 min on 1-core "
                            "CPU; set DBSR_RUN_SLOW=1")

@@ -119,3 +119,28 @@ def test_watchdog_should_kill_logic():
     # own-process finder never lists the caller
     pids = [p for p, _ in wd.find_stage_pids("campaign_watchdog")]
     assert os.getpid() not in pids
+
+
+def test_chip_queue_helpers(tmp_path):
+    """chip_queue's campaign-completion and pidfile-liveness probes."""
+    _spec3 = importlib.util.spec_from_file_location(
+        "chip_queue",
+        os.path.join(os.path.dirname(__file__), os.pardir, "util_scripts",
+                     "chip_queue.py"))
+    cq = importlib.util.module_from_spec(_spec3)
+    _spec3.loader.exec_module(cq)
+
+    ws = str(tmp_path)
+    assert not cq.campaign_complete(ws)  # no driver.out
+    (tmp_path / "driver.out").write_text("train to 10\n")
+    assert not cq.campaign_complete(ws)  # incomplete
+    (tmp_path / "driver.out").write_text("...\ncampaign complete\n")
+    assert cq.campaign_complete(ws)
+
+    live = tmp_path / "live.pid"
+    live.write_text(str(os.getpid()))
+    assert cq.alive(str(live))
+    dead = tmp_path / "dead.pid"
+    dead.write_text("999999999")
+    assert not cq.alive(str(dead))
+    assert not cq.alive(str(tmp_path / "missing.pid"))

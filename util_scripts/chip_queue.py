@@ -1,0 +1,132 @@
+"""Serial chip-work queue: babysit the parity campaign, then run the
+flow-protocol ablation — keeping the single TPU chip productive across
+session/round boundaries without manual intervention.
+
+1. Wait for the running campaign driver; if it exited without printing
+   ``campaign complete`` (e.g. it exhausted its per-stage retries during
+   a relay outage), relaunch it — every campaign stage is idempotent and
+   resumes from checkpoints.
+2. When the campaign is complete, retarget the stale-log watchdog at the
+   ablation log (the campaign log goes permanently silent at that point;
+   a watchdog still aimed at it would kill every later ``run_training.py``
+   stage) and run the frozen/e2e/scratch flow ablation
+   (``util_scripts/flow_ablation.py`` — itself resumable per arm).
+
+Usage:
+    nohup python util_scripts/chip_queue.py \
+        --campaign_ws /root/dbsr_campaign_r3 \
+        --ablation_ws /root/dbsr_ablation_r3 \
+        --ablation_epochs 20 > /root/chip_queue.out 2>&1 &
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def alive(pidfile: str) -> bool:
+    try:
+        with open(pidfile) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
+def campaign_complete(ws: str) -> bool:
+    try:
+        with open(os.path.join(ws, "driver.out")) as f:
+            return "campaign complete" in f.read()
+    except OSError:
+        return False
+
+
+def launch(argv, out_path: str, pidfile: str) -> None:
+    with open(out_path, "a") as out:
+        p = subprocess.Popen(argv, cwd=REPO, stdout=out,
+                             stderr=subprocess.STDOUT,
+                             start_new_session=True)
+    with open(pidfile, "w") as f:
+        f.write(str(p.pid))
+    print(f"launched {' '.join(argv)} pid={p.pid}", flush=True)
+
+
+def retarget_watchdog(log_path: str) -> None:
+    """Kill the current watchdog (by pidfile, never by pattern) and start
+    one aimed at ``log_path``."""
+    try:
+        with open("/tmp/watchdog.pid") as f:
+            os.kill(int(f.read().strip()), 15)
+            print("killed previous watchdog", flush=True)
+    except (OSError, ValueError):
+        pass
+    time.sleep(1)
+    launch([sys.executable, "util_scripts/campaign_watchdog.py",
+            "--log", log_path],
+           os.path.join(os.path.dirname(log_path), "watchdog.out"),
+           "/tmp/watchdog.pid")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--campaign_ws", required=True)
+    ap.add_argument("--ablation_ws", required=True)
+    ap.add_argument("--ablation_epochs", type=int, default=20)
+    # Default arms exclude "frozen": the parity campaign IS the frozen
+    # arm (identical config/seed/val set), so its trajectory row at
+    # --ablation_epochs is the frozen number — rerunning it would spend
+    # ~1 h of chip reproducing a known curve.
+    ap.add_argument("--ablation_arms", default="e2e,scratch")
+    ap.add_argument("--max_relaunches", type=int, default=3)
+    args = ap.parse_args()
+
+    # ---- 1. campaign to completion ----
+    relaunches = 0
+    while not campaign_complete(args.campaign_ws):
+        if alive("/tmp/campaign.pid"):
+            time.sleep(120)
+            continue
+        if relaunches >= args.max_relaunches:
+            print("campaign driver dead and relaunch budget exhausted; "
+                  "continuing to ablation with whatever checkpoints exist",
+                  flush=True)
+            break
+        relaunches += 1
+        print(f"campaign driver died incomplete; relaunch {relaunches}",
+              flush=True)
+        launch([sys.executable, "util_scripts/parity_campaign.py",
+                "--workspace", args.campaign_ws, "--eval_batch", "2"],
+               os.path.join(args.campaign_ws, "driver.out"),
+               "/tmp/campaign.pid")
+        time.sleep(120)
+    print(f"campaign phase done (complete={campaign_complete(args.campaign_ws)})",
+          flush=True)
+
+    # ---- 2. flow-protocol ablation ----
+    os.makedirs(args.ablation_ws, exist_ok=True)
+    retarget_watchdog(os.path.join(args.ablation_ws, "ablation.log"))
+    # Reuse the campaign's PWC pretrain checkpoint and frozen val set:
+    # no duplicate pretrain/valgen chip time, and every arm scores on the
+    # SAME val set as the campaign trajectory (directly comparable dB).
+    abl = [sys.executable, "util_scripts/flow_ablation.py",
+           "--workspace", args.ablation_ws,
+           "--epochs", str(args.ablation_epochs),
+           "--arms", args.ablation_arms]
+    if os.path.isdir(os.path.join(args.campaign_ws, "pwcnet",
+                                  "pretrain_synthetic")):
+        abl += ["--pwc_workspace", args.campaign_ws]
+    if os.path.isdir(os.path.join(args.campaign_ws, "procedural_val",
+                                  "gt")):
+        abl += ["--val_dir",
+                os.path.join(args.campaign_ws, "procedural_val")]
+    rc = subprocess.call(abl, cwd=REPO)
+    print(f"ablation rc={rc}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
