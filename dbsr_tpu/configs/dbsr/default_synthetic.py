@@ -202,7 +202,8 @@ def run(settings):
 
     actor = make_synthetic_actor(net, loss_weight=1.0, boundary_ignore=40)
     tx = make_optimizer(base_lr=1e-4, step_size_epochs=40, gamma=0.2,
-                        steps_per_epoch=steps_per_epoch)
+                        steps_per_epoch=steps_per_epoch,
+                        clip_norm=getattr(settings, "grad_clip", None))
 
     mesh = make_mesh() if settings.multi_device and len(jax.devices()) > 1 \
         else None

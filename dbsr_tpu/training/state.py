@@ -47,8 +47,16 @@ def step_lr_schedule(base_lr: float, step_size_epochs: int, gamma: float,
 
 def make_optimizer(base_lr: float = 1e-4, step_size_epochs: int = 40,
                    gamma: float = 0.2, steps_per_epoch: int = 1000,
+                   clip_norm: Optional[float] = None,
                    ) -> optax.GradientTransformation:
     """Adam with the reference's StepLR decay (lr 1e-4, x0.2 every 40
-    epochs for the synthetic config)."""
-    return optax.adam(
+    epochs for the synthetic config).
+
+    ``clip_norm`` prepends global-norm gradient clipping — OFF by default
+    (the reference protocol doesn't clip); available as a bf16-spike
+    guard via ``--set grad_clip=1.0`` on the training CLI."""
+    adam = optax.adam(
         step_lr_schedule(base_lr, step_size_epochs, gamma, steps_per_epoch))
+    if clip_norm is None:
+        return adam
+    return optax.chain(optax.clip_by_global_norm(clip_norm), adam)

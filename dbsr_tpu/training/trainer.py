@@ -68,6 +68,19 @@ def _memoized_put(put_fn):
     return put
 
 
+def is_divergent(loss_avg: Optional[float], best: Optional[float],
+                 factor: Optional[float]) -> bool:
+    """Epoch-level divergence decision: non-finite loss always counts;
+    otherwise the epoch average must exceed ``factor`` x the best epoch
+    seen. ``factor=None`` disables; no verdict before a best exists
+    (the first epochs establish the baseline)."""
+    if factor is None or loss_avg is None:
+        return False
+    if not np.isfinite(loss_avg):
+        return True
+    return best is not None and loss_avg > factor * best
+
+
 @dataclass
 class LoaderSpec:
     """One data loader: a host batcher + schedule metadata (reference
@@ -88,7 +101,8 @@ class Trainer:
                  mesh=None, print_interval: int = 50, seed: int = 0,
                  description: str = "", prepare_fn: Optional[Callable] = None,
                  init_burst_shape: Optional[tuple] = None,
-                 cast_uint8_inputs: bool = True):
+                 cast_uint8_inputs: bool = True,
+                 divergence_factor: Optional[float] = 2.0):
         """``prepare_fn(key, host_batch) -> batch dict`` maps the host
         loader's output to the training batch on device. Default: on-device
         burst synthesis from RGB crops (``synthesize_batch`` with
@@ -129,6 +143,17 @@ class Trainer:
         self.print_interval = print_interval
         self.epoch = 0
         self.seed = seed
+        # Divergence guard: an epoch whose train-loss average exceeds
+        # divergence_factor x the best epoch so far (or is non-finite) is
+        # NOT checkpointed; training rolls back to the last good
+        # checkpoint with a reseeded data stream. Catches optimizer
+        # blow-ups that a crash-only fail-safe misses — observed live in
+        # round 3: a bf16 loss spike mid-epoch collapsed the decoder's
+        # final-ReLU output to all-zeros (loss pinned at mean|gt|, zero
+        # gradient, no recovery) and the stuck run kept checkpointing.
+        # None disables.
+        self.divergence_factor = divergence_factor
+        self._retry_salt = 0
         self.stats: Dict[str, StatsDict] = {
             l.name: StatsDict() for l in loaders}
         self.tb = TensorboardWriter(
@@ -223,7 +248,11 @@ class Trainer:
         n = loader.num_batches()
         key = jax.random.fold_in(
             jax.random.key(self.seed + 1), self.epoch * 131 +
-            (0 if loader.training else 1))
+            (0 if loader.training else 1)
+            # after a divergence rollback the epoch is retried on a
+            # DIFFERENT stream — replaying the identical batch sequence
+            # into the restored state could reproduce the blow-up
+            + 1_000_003 * self._retry_salt)
 
         from dbsr_tpu.data.pipeline import DevicePrefetcher
         from dbsr_tpu.training.profiling import maybe_trace
@@ -275,6 +304,18 @@ class Trainer:
         flush()
         return state
 
+    def _train_loss_avg(self) -> Optional[float]:
+        """This epoch's average primary loss over the training loaders
+        that ran (``Loss/total`` preferred, any ``Loss/*`` fallback)."""
+        for loader in self.loaders:
+            if not loader.training or self.epoch % loader.epoch_interval:
+                continue
+            avgs = self.stats[loader.name].averages()
+            for key in ("Loss/total", *sorted(avgs)):
+                if key in avgs and key.startswith("Loss"):
+                    return float(avgs[key])
+        return None
+
     def _save(self, state: TrainState):
         ckpt.save_checkpoint(
             self.workspace_dir, self.net_name, self.epoch, state,
@@ -300,12 +341,38 @@ class Trainer:
             state = self._load_latest(state)
 
         failures = 0
+        best_train_loss = None
         while self.epoch < max_epochs:
             try:
                 self.epoch += 1
                 for loader in self.loaders:
                     if self.epoch % loader.epoch_interval == 0:
                         state = self._cycle(state, loader)
+                loss_avg = self._train_loss_avg()
+                if is_divergent(loss_avg, best_train_loss,
+                                self.divergence_factor):
+                    failures += 1
+                    if failures > max_failures:
+                        raise RuntimeError(
+                            f"diverged at epoch {self.epoch} (train loss "
+                            f"{loss_avg} vs best {best_train_loss}) and "
+                            "failure budget exhausted")
+                    print(f"Divergence detected at epoch {self.epoch}: "
+                          f"train loss {loss_avg:.6g} vs best "
+                          f"{best_train_loss} "
+                          f"(factor {self.divergence_factor}); NOT "
+                          "checkpointing — rolling back to last good "
+                          "checkpoint with a reseeded stream "
+                          f"(failure {failures}/{max_failures})",
+                          flush=True)
+                    self._retry_salt += 1
+                    self.epoch -= 1
+                    state = self.init_state()
+                    state = self._load_latest(state)
+                    continue
+                if loss_avg is not None and np.isfinite(loss_avg):
+                    best_train_loss = loss_avg if best_train_loss is None \
+                        else min(best_train_loss, loss_avg)
                 self._save(state)
                 if self.tb:
                     for loader in self.loaders:

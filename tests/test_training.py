@@ -125,6 +125,77 @@ def test_training_decreases_loss(tmp_path):
         "0003.ckpt")
 
 
+def test_is_divergent_logic():
+    from dbsr_tpu.training.trainer import is_divergent
+    assert not is_divergent(0.01, None, 2.0)        # no baseline yet
+    assert not is_divergent(0.019, 0.01, 2.0)       # under the factor
+    assert is_divergent(0.021, 0.01, 2.0)           # over the factor
+    assert is_divergent(float("nan"), None, 2.0)    # non-finite always
+    assert is_divergent(float("inf"), 0.01, 2.0)
+    assert not is_divergent(0.5, 0.01, None)        # disabled
+    assert not is_divergent(None, 0.01, 2.0)        # no loss stat
+
+
+def test_divergence_rollback(tmp_path):
+    """An epoch whose train loss blows up is not checkpointed: training
+    rolls back to the last good checkpoint, retries on a reseeded
+    stream, and completes. Scripted losses: ep1 good, ep2 diverged
+    (50x), ep2-retry good, ep3 good."""
+    trainer = _make_trainer(tmp_path)
+    losses = iter([0.01, 0.5, 0.011, 0.012])
+    salts = []
+
+    def fake_cycle(state, loader):
+        stats = trainer.stats[loader.name]
+        stats.new_epoch()
+        stats.update_from({"Loss/total": next(losses)}, n=2)
+        salts.append(trainer._retry_salt)
+        return state
+
+    trainer._cycle = fake_cycle
+    trainer.train(3, load_latest=False)
+    # the diverged epoch-2 attempt was rolled back and retried
+    assert trainer._retry_salt == 1
+    assert salts == [0, 0, 1, 1]  # retry + epoch 3 use the new stream
+    ckpts = ckpt.list_checkpoints(str(tmp_path), "tiny")
+    assert [e for e, _ in ckpts] == [1, 2, 3]
+
+
+def test_divergence_budget_exhaustion(tmp_path):
+    """Persistent divergence consumes the failure budget and raises."""
+    trainer = _make_trainer(tmp_path)
+    seq = iter([0.01] + [1.0] * 10)
+
+    def fake_cycle(state, loader):
+        stats = trainer.stats[loader.name]
+        stats.new_epoch()
+        stats.update_from({"Loss/total": next(seq)}, n=2)
+        return state
+
+    trainer._cycle = fake_cycle
+    with pytest.raises(RuntimeError, match="diverged"):
+        trainer.train(3, load_latest=False, max_failures=2)
+
+
+def test_make_optimizer_clip_norm():
+    """clip_norm bounds the update magnitude under a gradient spike."""
+    import optax
+    params = {"w": jnp.zeros((4,))}
+    huge = {"w": jnp.full((4,), 1e6)}
+    for clip, bound in ((1.0, True), (None, False)):
+        tx = make_optimizer(1e-4, 40, 0.2, steps_per_epoch=10,
+                            clip_norm=clip)
+        st = tx.init(params)
+        upd, _ = tx.update(huge, st, params)
+        # Adam normalizes by |g| so the first-step update is ~lr either
+        # way; check the clip actually transformed the gradient by
+        # inspecting the chained state structure instead.
+        assert np.all(np.isfinite(np.asarray(upd["w"])))
+        is_chained = isinstance(st, tuple) and len(st) == 2 and \
+            isinstance(st[0], optax.EmptyState)
+        assert is_chained == bound
+
+
 def test_training_resume(tmp_path):
     t1 = _make_trainer(tmp_path)
     t1.train(2, load_latest=False, fail_safe=False)
