@@ -130,3 +130,27 @@ def test_graft_rejects_incompatible(tmp_path, batch):
     dparams = jax.jit(net.init)(jax.random.key(2), batch["burst"])
     with pytest.raises((ValueError, KeyError)):
         graft_alignment_params(dparams, ckpt)
+
+
+def test_probe_params_artifact_roundtrip(tmp_path, batch):
+    """pwc_pretrain_probe's --save/--init_from path: a params-only
+    artifact written from one BurstFlowNet roundtrips exactly into a
+    freshly initialized one (the curriculum-transfer mechanism)."""
+    from flax import serialization
+
+    from dbsr_tpu.training.checkpoint import (load_checkpoint,
+                                              save_params_artifact)
+
+    flow_net = BurstFlowNet()
+    src = jax.jit(flow_net.init)(jax.random.key(7), batch["burst"])
+    path = str(tmp_path / "probe_params.ckpt")
+    save_params_artifact(
+        path, {"epoch": 5000, "net_name": "pwcnet_probe",
+               "settings": {"regime": "bigflow"}}, jax.device_get(src))
+
+    hdr, raw = load_checkpoint(path)
+    assert hdr["params_only"] and hdr["settings"]["regime"] == "bigflow"
+    fresh = jax.jit(flow_net.init)(jax.random.key(8), batch["burst"])
+    restored = serialization.from_state_dict(fresh, raw)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), restored, src)

@@ -83,6 +83,8 @@ def main():
     # ~1 h of chip reproducing a known curve.
     ap.add_argument("--ablation_arms", default="e2e,scratch")
     ap.add_argument("--max_relaunches", type=int, default=3)
+    ap.add_argument("--probe_steps", type=int, default=30000,
+                    help="PWC curriculum probe budget (0 disables)")
     args = ap.parse_args()
 
     # ---- 1. campaign to completion ----
@@ -126,6 +128,32 @@ def main():
                 os.path.join(args.campaign_ws, "procedural_val")]
     rc = subprocess.call(abl, cwd=REPO)
     print(f"ablation rc={rc}", flush=True)
+
+    # ---- 3. PWC curriculum probe ladder ----
+    # Round-3 finding: from-scratch PWC on the dbsr regime converges to
+    # the zero-flow baseline (EPE 2.30). Test the FlyingChairs-style
+    # curriculum hypothesis: learn on big clean flows first, then
+    # transfer to the small-flow RAW regime.
+    if args.probe_steps > 0:
+        pws = args.ablation_ws
+        big = os.path.join(pws, "pwc_bigflow_params.ckpt")
+        rc1 = subprocess.call(
+            [sys.executable, "util_scripts/pwc_pretrain_probe.py",
+             "--regime", "bigflow", "--weights", "fine",
+             "--steps", str(args.probe_steps), "--save", big,
+             "--log", os.path.join(pws, "probe_bigflow.jsonl")], cwd=REPO)
+        print(f"probe bigflow rc={rc1}", flush=True)
+        if rc1 == 0 and os.path.exists(big):
+            rc2 = subprocess.call(
+                [sys.executable, "util_scripts/pwc_pretrain_probe.py",
+                 "--regime", "dbsr", "--weights", "fine",
+                 "--steps", str(args.probe_steps // 2),
+                 "--init_from", big,
+                 "--save", os.path.join(pws, "pwc_curriculum_params.ckpt"),
+                 "--log", os.path.join(pws, "probe_dbsr_transfer.jsonl")],
+                cwd=REPO)
+            print(f"probe dbsr-transfer rc={rc2}", flush=True)
+    print("chip queue complete", flush=True)
 
 
 if __name__ == "__main__":

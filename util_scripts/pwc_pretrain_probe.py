@@ -72,6 +72,13 @@ def main():
     ap.add_argument("--weights", choices=sorted(PRESETS), default="fine")
     ap.add_argument("--pool", type=int, default=48)
     ap.add_argument("--log", default=None, help="append JSONL rows here")
+    ap.add_argument("--save", default=None,
+                    help="write a params-only artifact here (every 5000 "
+                         "steps + at the end) — curriculum material")
+    ap.add_argument("--init_from", default=None,
+                    help="initialize from a params-only artifact (e.g. a "
+                         "bigflow-regime probe's --save output: the "
+                         "curriculum-transfer experiment)")
     args = ap.parse_args()
 
     actors._PWC_LEVEL_WEIGHTS = PRESETS[args.weights]
@@ -94,6 +101,25 @@ def main():
     actor = make_flow_actor(net)
     params = net.init(jax.random.key(2),
                       jnp.zeros((1, 2) + cfg.burst_hw + (4,)))
+    if args.init_from:
+        from flax import serialization
+
+        from dbsr_tpu.training.checkpoint import load_checkpoint
+        hdr, raw = load_checkpoint(args.init_from)
+        params = serialization.from_state_dict(params, raw)
+        print(f"initialized from {args.init_from} "
+              f"(epoch {hdr.get('epoch')})", flush=True)
+
+    def save_params(step_i):
+        if not args.save:
+            return
+        from dbsr_tpu.training.checkpoint import save_params_artifact
+        save_params_artifact(
+            args.save,
+            {"epoch": step_i, "net_name": "pwcnet_probe",
+             "settings": {"regime": args.regime, "weights": args.weights,
+                          "lr": args.lr, "init_from": args.init_from}},
+            jax.device_get(params))
     sched = optax.join_schedules(
         [optax.linear_schedule(0.0, args.lr, args.warmup),
          optax.constant_schedule(args.lr)], [args.warmup])
@@ -125,6 +151,9 @@ def main():
             if args.log:
                 with open(args.log, "a") as f:
                     f.write(json.dumps(row) + "\n")
+        if args.save and i and i % 5000 == 0:
+            save_params(i)
+    save_params(args.steps)
 
 
 if __name__ == "__main__":
