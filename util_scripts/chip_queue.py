@@ -11,6 +11,8 @@ session/round boundaries without manual intervention.
    a watchdog still aimed at it would kill every later ``run_training.py``
    stage) and run the frozen/e2e/scratch flow ablation
    (``util_scripts/flow_ablation.py`` — itself resumable per arm).
+3. Run the PWC curriculum probe ladder (big-clean-flow pretrain, then
+   transfer to the dbsr small-flow regime).
 
 Usage:
     nohup python util_scripts/chip_queue.py \
@@ -26,6 +28,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CAMPAIGN_PIDFILE = "/tmp/campaign.pid"
+WATCHDOG_PIDFILE = "/tmp/watchdog.pid"
 
 
 def alive(pidfile: str) -> bool:
@@ -56,42 +60,32 @@ def launch(argv, out_path: str, pidfile: str) -> None:
     print(f"launched {' '.join(argv)} pid={p.pid}", flush=True)
 
 
-def retarget_watchdog(log_path: str) -> None:
+def retarget_watchdog(log_path: str, pidfile: str = WATCHDOG_PIDFILE,
+                      sleep=time.sleep) -> None:
     """Kill the current watchdog (by pidfile, never by pattern) and start
     one aimed at ``log_path``."""
     try:
-        with open("/tmp/watchdog.pid") as f:
+        with open(pidfile) as f:
             os.kill(int(f.read().strip()), 15)
             print("killed previous watchdog", flush=True)
     except (OSError, ValueError):
         pass
-    time.sleep(1)
+    sleep(1)
     launch([sys.executable, "util_scripts/campaign_watchdog.py",
             "--log", log_path],
            os.path.join(os.path.dirname(log_path), "watchdog.out"),
-           "/tmp/watchdog.pid")
+           pidfile)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--campaign_ws", required=True)
-    ap.add_argument("--ablation_ws", required=True)
-    ap.add_argument("--ablation_epochs", type=int, default=20)
-    # Default arms exclude "frozen": the parity campaign IS the frozen
-    # arm (identical config/seed/val set), so its trajectory row at
-    # --ablation_epochs is the frozen number — rerunning it would spend
-    # ~1 h of chip reproducing a known curve.
-    ap.add_argument("--ablation_arms", default="e2e,scratch")
-    ap.add_argument("--max_relaunches", type=int, default=3)
-    ap.add_argument("--probe_steps", type=int, default=30000,
-                    help="PWC curriculum probe budget (0 disables)")
-    args = ap.parse_args()
-
-    # ---- 1. campaign to completion ----
+def campaign_phase(args, pidfile: str = CAMPAIGN_PIDFILE, poll_s: int = 120,
+                   sleep=time.sleep) -> None:
+    """Block until the campaign prints completion, relaunching a dead
+    driver up to ``--max_relaunches`` times (then fall through so the
+    rest of the queue still runs on whatever checkpoints exist)."""
     relaunches = 0
     while not campaign_complete(args.campaign_ws):
-        if alive("/tmp/campaign.pid"):
-            time.sleep(120)
+        if alive(pidfile):
+            sleep(poll_s)
             continue
         if relaunches >= args.max_relaunches:
             print("campaign driver dead and relaunch budget exhausted; "
@@ -104,17 +98,17 @@ def main():
         launch([sys.executable, "util_scripts/parity_campaign.py",
                 "--workspace", args.campaign_ws, "--eval_batch", "2"],
                os.path.join(args.campaign_ws, "driver.out"),
-               "/tmp/campaign.pid")
-        time.sleep(120)
+               pidfile)
+        sleep(poll_s)
     print(f"campaign phase done (complete={campaign_complete(args.campaign_ws)})",
           flush=True)
 
-    # ---- 2. flow-protocol ablation ----
-    os.makedirs(args.ablation_ws, exist_ok=True)
-    retarget_watchdog(os.path.join(args.ablation_ws, "ablation.log"))
-    # Reuse the campaign's PWC pretrain checkpoint and frozen val set:
-    # no duplicate pretrain/valgen chip time, and every arm scores on the
-    # SAME val set as the campaign trajectory (directly comparable dB).
+
+def ablation_argv(args):
+    """Ablation command line; reuses the campaign's PWC pretrain
+    checkpoint and frozen val set when present — no duplicate
+    pretrain/valgen chip time, and every arm scores on the SAME val set
+    as the campaign trajectory (directly comparable dB)."""
     abl = [sys.executable, "util_scripts/flow_ablation.py",
            "--workspace", args.ablation_ws,
            "--epochs", str(args.ablation_epochs),
@@ -126,33 +120,68 @@ def main():
                                   "gt")):
         abl += ["--val_dir",
                 os.path.join(args.campaign_ws, "procedural_val")]
-    rc = subprocess.call(abl, cwd=REPO)
-    print(f"ablation rc={rc}", flush=True)
+    return abl
 
-    # ---- 3. PWC curriculum probe ladder ----
-    # Round-3 finding: from-scratch PWC on the dbsr regime converges to
-    # the zero-flow baseline (EPE 2.30). Test the FlyingChairs-style
-    # curriculum hypothesis: learn on big clean flows first, then
-    # transfer to the small-flow RAW regime.
-    if args.probe_steps > 0:
-        pws = args.ablation_ws
-        big = os.path.join(pws, "pwc_bigflow_params.ckpt")
-        rc1 = subprocess.call(
+
+def ablation_phase(args, run=subprocess.call,
+                   watchdog_pidfile: str = WATCHDOG_PIDFILE) -> int:
+    os.makedirs(args.ablation_ws, exist_ok=True)
+    retarget_watchdog(os.path.join(args.ablation_ws, "ablation.log"),
+                      pidfile=watchdog_pidfile)
+    rc = run(ablation_argv(args), cwd=REPO)
+    print(f"ablation rc={rc}", flush=True)
+    return rc
+
+
+def probe_phase(args, run=subprocess.call) -> None:
+    """PWC curriculum probe ladder. Round-3 finding: from-scratch PWC on
+    the dbsr regime converges to the zero-flow baseline (EPE 2.30). Test
+    the FlyingChairs-style curriculum hypothesis: learn on big clean
+    flows first, then transfer to the small-flow RAW regime. The
+    transfer stage only runs if the bigflow stage saved its artifact."""
+    if args.probe_steps <= 0:
+        return
+    pws = args.ablation_ws
+    big = os.path.join(pws, "pwc_bigflow_params.ckpt")
+    rc1 = run(
+        [sys.executable, "util_scripts/pwc_pretrain_probe.py",
+         "--regime", "bigflow", "--weights", "fine",
+         "--steps", str(args.probe_steps), "--save", big,
+         "--log", os.path.join(pws, "probe_bigflow.jsonl")], cwd=REPO)
+    print(f"probe bigflow rc={rc1}", flush=True)
+    if rc1 == 0 and os.path.exists(big):
+        rc2 = run(
             [sys.executable, "util_scripts/pwc_pretrain_probe.py",
-             "--regime", "bigflow", "--weights", "fine",
-             "--steps", str(args.probe_steps), "--save", big,
-             "--log", os.path.join(pws, "probe_bigflow.jsonl")], cwd=REPO)
-        print(f"probe bigflow rc={rc1}", flush=True)
-        if rc1 == 0 and os.path.exists(big):
-            rc2 = subprocess.call(
-                [sys.executable, "util_scripts/pwc_pretrain_probe.py",
-                 "--regime", "dbsr", "--weights", "fine",
-                 "--steps", str(args.probe_steps // 2),
-                 "--init_from", big,
-                 "--save", os.path.join(pws, "pwc_curriculum_params.ckpt"),
-                 "--log", os.path.join(pws, "probe_dbsr_transfer.jsonl")],
-                cwd=REPO)
-            print(f"probe dbsr-transfer rc={rc2}", flush=True)
+             "--regime", "dbsr", "--weights", "fine",
+             "--steps", str(args.probe_steps // 2),
+             "--init_from", big,
+             "--save", os.path.join(pws, "pwc_curriculum_params.ckpt"),
+             "--log", os.path.join(pws, "probe_dbsr_transfer.jsonl")],
+            cwd=REPO)
+        print(f"probe dbsr-transfer rc={rc2}", flush=True)
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--campaign_ws", required=True)
+    ap.add_argument("--ablation_ws", required=True)
+    ap.add_argument("--ablation_epochs", type=int, default=20)
+    # Default arms exclude "frozen": the parity campaign IS the frozen
+    # arm (identical config/seed/val set), so its trajectory row at
+    # --ablation_epochs is the frozen number — rerunning it would spend
+    # ~1 h of chip reproducing a known curve.
+    ap.add_argument("--ablation_arms", default="e2e,scratch")
+    ap.add_argument("--max_relaunches", type=int, default=3)
+    ap.add_argument("--probe_steps", type=int, default=30000,
+                    help="PWC curriculum probe budget (0 disables)")
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    campaign_phase(args)
+    ablation_phase(args)
+    probe_phase(args)
     print("chip queue complete", flush=True)
 
 
