@@ -214,17 +214,31 @@ class DevicePrefetcher:
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._thread: Optional[threading.Thread] = None
         self._err = None
+        self._stop = False
+
+    def _put(self, b) -> bool:
+        """Stop-aware queue put; returns False when closed mid-wait."""
+        while not self._stop:
+            try:
+                self.q.put(b, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self):
         try:
             for _ in range(self.num_batches):
+                if self._stop:
+                    return
                 b = self.batch_fn()
                 if self.device_put is not None:
                     b = self.device_put(b)
-                self.q.put(b)
+                if not self._put(b):
+                    return
         except Exception as e:  # surface in consumer
             self._err = e
-            self.q.put(None)
+            self._put(None)
 
     def __iter__(self):
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -235,3 +249,20 @@ class DevicePrefetcher:
                 raise RuntimeError("prefetch worker failed") from self._err
             yield b
         self._thread.join()
+
+    def close(self):
+        """Release the feeder thread when the consumer abandons the epoch
+        mid-iteration (crash or divergence abort). Without this the worker
+        blocks forever on a full queue, and a retry epoch's NEW prefetcher
+        would race it for the shared batcher's RNG stream. Idempotent;
+        harmless after normal completion (thread already exited)."""
+        self._stop = True
+        t = self._thread
+        if t is None:
+            return
+        while t.is_alive():
+            try:
+                self.q.get_nowait()  # unblock a put-waiting worker
+            except queue.Empty:
+                pass
+            t.join(timeout=0.05)

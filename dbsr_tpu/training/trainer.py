@@ -81,6 +81,25 @@ def is_divergent(loss_avg: Optional[float], best: Optional[float],
     return best is not None and loss_avg > factor * best
 
 
+class MidEpochDivergence(RuntimeError):
+    """Raised from inside a training cycle when one print-interval's
+    average loss blows past the intra-epoch guard. The train loop treats
+    it like epoch-level divergence — roll back to the last good
+    checkpoint on a reseeded stream — but without finishing (or paying
+    for) the rest of the already-doomed epoch. Observed live in round 3:
+    a bf16 optimizer blow-up pinned the loss at ~6x best for the final
+    600 steps of an epoch before the epoch-level guard could see it."""
+
+    def __init__(self, interval_avg: float, best: Optional[float],
+                 step: int):
+        super().__init__(
+            f"interval loss {interval_avg:.6g} at step {step} vs best "
+            f"epoch {best if best is None else format(best, '.6g')}")
+        self.interval_avg = interval_avg
+        self.best = best
+        self.step = step
+
+
 @dataclass
 class LoaderSpec:
     """One data loader: a host batcher + schedule metadata (reference
@@ -102,7 +121,8 @@ class Trainer:
                  description: str = "", prepare_fn: Optional[Callable] = None,
                  init_burst_shape: Optional[tuple] = None,
                  cast_uint8_inputs: bool = True,
-                 divergence_factor: Optional[float] = 2.0):
+                 divergence_factor: Optional[float] = 1.4,
+                 intra_divergence_factor: Optional[float] = 3.0):
         """``prepare_fn(key, host_batch) -> batch dict`` maps the host
         loader's output to the training batch on device. Default: on-device
         burst synthesis from RGB crops (``synthesize_batch`` with
@@ -151,8 +171,19 @@ class Trainer:
         # round 3: a bf16 loss spike mid-epoch collapsed the decoder's
         # final-ReLU output to all-zeros (loss pinned at mean|gt|, zero
         # gradient, no recovery) and the stuck run kept checkpointing.
-        # None disables.
+        # None disables. Default 1.4: the round-3 campaign's lasting
+        # damage came through an epoch at 1.48x best (under the earlier
+        # 2.0 factor), while healthy epoch-to-epoch variation in the
+        # same run stayed within +-2% of best — 1.4 separates the two
+        # regimes with a wide margin, and a false positive only costs
+        # one retried epoch on a reseeded stream.
         self.divergence_factor = divergence_factor
+        # Intra-epoch guard: a print-interval whose mean loss exceeds
+        # intra_divergence_factor x the best EPOCH average aborts the
+        # cycle immediately (MidEpochDivergence -> rollback). Interval
+        # means are noisier than epoch means, hence the looser factor.
+        self.intra_divergence_factor = intra_divergence_factor
+        self._best_train_loss: Optional[float] = None
         self._retry_salt = 0
         self.stats: Dict[str, StatsDict] = {
             l.name: StatsDict() for l in loaders}
@@ -267,41 +298,69 @@ class Trainer:
         # print_interval / epoch boundaries instead.
         pending: List[tuple] = []
 
-        def flush():
+        def flush(step: int):
             if not pending:
                 return
             host = jax.device_get([s for s, _ in pending])
+            loss_key = None
+            loss_sum = loss_n = 0.0
             for s_host, (_, b) in zip(host, pending):
-                stats.update_from(
-                    {k2: float(v) for k2, v in s_host.items()}, n=b)
+                vals = {k2: float(v) for k2, v in s_host.items()}
+                stats.update_from(vals, n=b)
+                if loss_key is None:
+                    for cand in ("Loss/total", *sorted(vals)):
+                        if cand in vals and cand.startswith("Loss"):
+                            loss_key = cand
+                            break
+                if loss_key in vals:
+                    loss_sum += vals[loss_key] * b
+                    loss_n += b
             pending.clear()
+            # Intra-epoch guard: this interval's mean loss vs the best
+            # epoch so far (no verdict until a best exists).
+            if loader.training and loss_n:
+                interval_avg = loss_sum / loss_n
+                if is_divergent(interval_avg, self._best_train_loss,
+                                self.intra_divergence_factor):
+                    raise MidEpochDivergence(
+                        interval_avg, self._best_train_loss, step)
 
-        for i, crops in enumerate(prefetch):
-            k = jax.random.fold_in(key, i)
-            with maybe_trace(i):
-                if loader.training:
-                    state, step_stats = self._train_step(state, k, crops)
-                else:
-                    step_stats = self._eval_step(state, k, crops)
-            # Pool-handle loaders yield the whole HBM pool, not a batch —
-            # count the configured batch size, not the handle's leading
-            # dim (which inflated FPS by pool_size/batch_size).
-            bs = getattr(loader.batcher, "batch_size", None) \
-                or jax.tree_util.tree_leaves(crops)[0].shape[0]
-            samples_done += bs
-            pending.append((step_stats, bs))
-            if (i + 1) % self.print_interval == 0 or (i + 1) == n:
-                flush()
-                # NOTE: on remote runtimes that pipeline execution behind
-                # dispatch, this reflects dispatch+stat-fetch rate, which
-                # can run ahead of device execution; epoch wall time
-                # (checkpoint cadence) is the authoritative throughput.
-                fps = samples_done / (time.perf_counter() - t0)
-                line = f"[{loader.name}: {self.epoch}, {i + 1}/{n}] " \
-                       f"FPS: {fps:.1f}, " + ", ".join(
-                           f"{k2}: {m.avg:.5f}" for k2, m in stats.items())
-                print(line, flush=True)
-        flush()
+        try:
+            for i, crops in enumerate(prefetch):
+                k = jax.random.fold_in(key, i)
+                with maybe_trace(i):
+                    if loader.training:
+                        state, step_stats = self._train_step(state, k,
+                                                             crops)
+                    else:
+                        step_stats = self._eval_step(state, k, crops)
+                # Pool-handle loaders yield the whole HBM pool, not a
+                # batch — count the configured batch size, not the
+                # handle's leading dim (which inflated FPS by
+                # pool_size/batch_size).
+                bs = getattr(loader.batcher, "batch_size", None) \
+                    or jax.tree_util.tree_leaves(crops)[0].shape[0]
+                samples_done += bs
+                pending.append((step_stats, bs))
+                if (i + 1) % self.print_interval == 0 or (i + 1) == n:
+                    flush(i + 1)
+                    # NOTE: on remote runtimes that pipeline execution
+                    # behind dispatch, this reflects dispatch+stat-fetch
+                    # rate, which can run ahead of device execution; epoch
+                    # wall time (checkpoint cadence) is the authoritative
+                    # throughput.
+                    fps = samples_done / (time.perf_counter() - t0)
+                    line = f"[{loader.name}: {self.epoch}, {i + 1}/{n}] " \
+                           f"FPS: {fps:.1f}, " + ", ".join(
+                               f"{k2}: {m.avg:.5f}" for k2, m in
+                               stats.items())
+                    print(line, flush=True)
+            flush(n)
+        finally:
+            # Abandoning the iterator (divergence abort / crash) must
+            # release the feeder thread, or the retry epoch's new
+            # prefetcher races it for the shared batcher.
+            prefetch.close()
         return state
 
     def _train_loss_avg(self) -> Optional[float]:
@@ -341,7 +400,6 @@ class Trainer:
             state = self._load_latest(state)
 
         failures = 0
-        best_train_loss = None
         while self.epoch < max_epochs:
             try:
                 self.epoch += 1
@@ -349,17 +407,18 @@ class Trainer:
                     if self.epoch % loader.epoch_interval == 0:
                         state = self._cycle(state, loader)
                 loss_avg = self._train_loss_avg()
-                if is_divergent(loss_avg, best_train_loss,
+                if is_divergent(loss_avg, self._best_train_loss,
                                 self.divergence_factor):
                     failures += 1
                     if failures > max_failures:
                         raise RuntimeError(
                             f"diverged at epoch {self.epoch} (train loss "
-                            f"{loss_avg} vs best {best_train_loss}) and "
+                            f"{loss_avg} vs best "
+                            f"{self._best_train_loss}) and "
                             "failure budget exhausted")
                     print(f"Divergence detected at epoch {self.epoch}: "
                           f"train loss {loss_avg:.6g} vs best "
-                          f"{best_train_loss} "
+                          f"{self._best_train_loss} "
                           f"(factor {self.divergence_factor}); NOT "
                           "checkpointing — rolling back to last good "
                           "checkpoint with a reseeded stream "
@@ -371,8 +430,9 @@ class Trainer:
                     state = self._load_latest(state)
                     continue
                 if loss_avg is not None and np.isfinite(loss_avg):
-                    best_train_loss = loss_avg if best_train_loss is None \
-                        else min(best_train_loss, loss_avg)
+                    self._best_train_loss = loss_avg \
+                        if self._best_train_loss is None \
+                        else min(self._best_train_loss, loss_avg)
                 self._save(state)
                 if self.tb:
                     for loader in self.loaders:
@@ -381,6 +441,20 @@ class Trainer:
                                 loader.name,
                                 self.stats[loader.name].averages(),
                                 self.epoch)
+            except MidEpochDivergence as e:
+                if not fail_safe:
+                    raise
+                failures += 1
+                if failures > max_failures:
+                    raise
+                print(f"Mid-epoch divergence at epoch {self.epoch}: {e}; "
+                      "aborting the cycle — rolling back to last good "
+                      "checkpoint with a reseeded stream "
+                      f"(failure {failures}/{max_failures})", flush=True)
+                self._retry_salt += 1
+                self.epoch -= 1
+                state = self.init_state()
+                state = self._load_latest(state)
             except Exception:
                 if not fail_safe:
                     raise

@@ -1,5 +1,7 @@
 """Host pipeline tests: crop logic, samplers, prefetcher."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -107,3 +109,31 @@ def test_prefetcher_propagates_errors():
 
     with pytest.raises(RuntimeError, match="prefetch worker failed"):
         list(DevicePrefetcher(bad, 3))
+
+
+def test_prefetcher_close_releases_blocked_worker():
+    """Abandoning iteration mid-epoch (divergence abort) must not leave
+    the feeder thread blocked on a full queue: close() drains + stops it
+    so a retry epoch's new prefetcher owns the batcher exclusively."""
+    calls = [0]
+
+    def make():
+        calls[0] += 1
+        return np.zeros((2, 4, 4, 3), np.float32)
+
+    pf = DevicePrefetcher(make, 100, depth=2)
+    it = iter(pf)
+    next(it)  # worker running; queue refills and worker blocks on put
+    pf.close()
+    assert not pf._thread.is_alive()
+    produced = calls[0]
+    time.sleep(0.2)  # a live worker would keep producing
+    assert calls[0] == produced
+    assert produced < 100
+
+
+def test_prefetcher_close_idempotent_after_completion():
+    pf = DevicePrefetcher(lambda: np.zeros((1,), np.float32), 3)
+    assert len(list(pf)) == 3
+    pf.close()  # harmless after normal completion
+    pf.close()

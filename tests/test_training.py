@@ -331,3 +331,64 @@ def test_params_only_artifact_roundtrip_and_resume_guard(tmp_path):
 
     with pytest.raises(ValueError, match="params-only"):
         ckpt.load_checkpoint(art, state)
+
+
+def test_mid_epoch_divergence_aborts_cycle(tmp_path):
+    """A print-interval whose mean loss blows past the intra-epoch guard
+    aborts the cycle from inside the real _cycle/flush path (and the
+    finally-close releases the prefetch thread)."""
+    from dbsr_tpu.training.trainer import MidEpochDivergence
+    trainer = _make_trainer(tmp_path)
+    trainer.print_interval = 1
+    # any real interval loss exceeds 3x this "best epoch"
+    trainer._best_train_loss = 1e-9
+    state = trainer.init_state()
+    trainer.epoch = 2
+    with pytest.raises(MidEpochDivergence):
+        trainer._cycle(state, trainer.loaders[0])
+
+
+def test_mid_epoch_divergence_rollback(tmp_path):
+    """train() treats MidEpochDivergence like epoch-level divergence:
+    roll back to the last good checkpoint on a reseeded stream instead
+    of the generic crash-restart (which would replay the same stream)."""
+    from dbsr_tpu.training.trainer import MidEpochDivergence
+    trainer = _make_trainer(tmp_path)
+    losses = iter([0.01, None, 0.011, 0.012])  # None => mid-epoch abort
+    salts = []
+
+    def fake_cycle(state, loader):
+        stats = trainer.stats[loader.name]
+        stats.new_epoch()
+        salts.append(trainer._retry_salt)
+        val = next(losses)
+        if val is None:
+            raise MidEpochDivergence(0.5, trainer._best_train_loss, 700)
+        stats.update_from({"Loss/total": val}, n=2)
+        return state
+
+    trainer._cycle = fake_cycle
+    trainer.train(3, load_latest=False)
+    assert trainer._retry_salt == 1
+    assert salts == [0, 0, 1, 1]
+    ckpts = ckpt.list_checkpoints(str(tmp_path), "tiny")
+    assert [e for e, _ in ckpts] == [1, 2, 3]
+
+
+def test_best_train_loss_tracks_epoch_minimum(tmp_path):
+    """The intra-epoch guard's baseline (self._best_train_loss) is kept
+    in sync with the epoch loop's best — a regression test for the guard
+    reading a field the loop never wrote."""
+    trainer = _make_trainer(tmp_path)
+    # stay under the 1.4x epoch divergence factor between epochs
+    losses = iter([0.012, 0.01, 0.011])
+
+    def fake_cycle(state, loader):
+        stats = trainer.stats[loader.name]
+        stats.new_epoch()
+        stats.update_from({"Loss/total": next(losses)}, n=2)
+        return state
+
+    trainer._cycle = fake_cycle
+    trainer.train(3, load_latest=False)
+    assert trainer._best_train_loss == pytest.approx(0.01)
