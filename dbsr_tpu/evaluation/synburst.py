@@ -289,6 +289,94 @@ def compute_score(network_params: List[NetworkParam], dataset_root: str,
     return scores_all
 
 
+class TrajectoryScorer:
+    """Stage the val set on device ONCE and score any number of
+    checkpoints against it — the engine behind
+    :func:`compute_score_trajectory` and the persistent eval worker
+    (``util_scripts/eval_worker.py``).
+
+    Per-checkpoint ``compute_score`` invocations each pay process init,
+    val-set host->device transfer, and jit compile/retrieval; over a
+    relayed runtime those fixed costs (~3 min) dwarf the ~10 s of device
+    time a 300-burst scoring actually needs. A scorer instance amortizes
+    them across every :meth:`score` call for the lifetime of the
+    process. LPIPS is not supported on this path (it needs host-visible
+    predictions — use ``compute_score`` with an explicit epoch).
+    """
+
+    def __init__(self, dataset_root: str, boundary_ignore: int = 40,
+                 with_msssim: bool = False,
+                 max_bursts: Optional[int] = None,
+                 burst_sz: Optional[int] = None,
+                 dataset=None, batch_size: int = 8):
+        dataset = dataset or SyntheticBurstVal(dataset_root)
+        n_bursts = min(len(dataset), max_bursts or len(dataset))
+        self.batch_size = min(batch_size, n_bursts)
+        self.metric_names = ["psnr", "ssim"] + (
+            ["msssim"] if with_msssim else [])
+        self._score_batch = _make_score_batch(boundary_ignore, with_msssim)
+        self._scored_forward = None  # built from the first checkpoint
+        # stage the val set on device once, reused across every epoch
+        self.staged = []
+        for _, bursts, gts in _iter_burst_batches(
+                dataset, n_bursts, self.batch_size, burst_sz,
+                u16_transfer=True):
+            self.staged.append(
+                (bursts.shape[0],
+                 jnp.asarray(_pad_to(bursts, self.batch_size)),
+                 jnp.asarray(_pad_to(gts, self.batch_size))))
+
+    def score(self, module: str, parameter: str, workspace_dir: str = "",
+              net_name: str = "dbsr_synthetic",
+              epochs: Optional[List[int]] = None) -> Dict:
+        """Score the run's checkpoints (all, or the given epochs).
+        Returns the ``compute_score`` dict shape:
+        ``{metric: {"<module>_<parameter>_epNNNN": value}}``,
+        epoch-sorted. The fused scored-forward graph is built from the
+        first checkpoint ever scored and reused for all later calls
+        (the architecture is constant across a run; params are a traced
+        argument)."""
+        from dbsr_tpu.training.checkpoint import (list_checkpoints,
+                                                  load_network)
+
+        ckpt_dir = os.path.join(workspace_dir, module, parameter)
+        all_ck = list_checkpoints(ckpt_dir, net_name)
+        if epochs is not None:
+            want = set(epochs)
+            all_ck = [(e, p) for e, p in all_ck if e in want]
+        if not all_ck:
+            raise FileNotFoundError(
+                f"no checkpoints for {module}/{parameter} in {ckpt_dir}")
+
+        if self._scored_forward is None:
+            net, _, _ = load_network(all_ck[0][1])
+            self._scored_forward = _scored_forward_fn(net,
+                                                      self._score_batch)
+
+        scores_all: Dict[str, Dict[str, float]] = {
+            m: {} for m in self.metric_names}
+        names = []
+        for e, path in all_ck:
+            params = load_network(path)[1]
+            pending = [(nb, self._scored_forward(params, b, g))
+                       for nb, b, g in self.staged]
+            host = jax.device_get([s for _, s in pending])
+            vals = {m: [] for m in self.metric_names}
+            for (nb, _), s in zip(pending, host):
+                for m in self.metric_names:
+                    vals[m] += list(s[m][:nb])
+            name = f"{module}_{parameter}_ep{e:04d}"
+            names.append(name)
+            for m in self.metric_names:
+                scores_all[m][name] = float(np.mean(vals[m]))
+            print("[trajectory] " + name + ": " + ", ".join(
+                f"{m}={scores_all[m][name]:.4f}"
+                for m in self.metric_names), flush=True)
+
+        print(generate_formatted_report(names, scores_all))
+        return scores_all
+
+
 def compute_score_trajectory(module: str, parameter: str, dataset_root: str,
                              workspace_dir: str = "",
                              net_name: str = "dbsr_synthetic",
@@ -300,64 +388,11 @@ def compute_score_trajectory(module: str, parameter: str, dataset_root: str,
                              dataset=None, batch_size: int = 8) -> Dict:
     """Score EVERY checkpoint of a training run in one process (model-zoo
     trajectory scoring; no reference analog — their ``compute_score.py``
-    loads one net per process).
-
-    Per-checkpoint ``compute_score`` invocations each pay process init,
-    val-set host->device transfer, and jit compile/retrieval. Here the val
-    batches are staged on device ONCE and one fused scored-forward graph
-    is reused for all epochs (the architecture is constant across a run;
-    params are a traced argument), so a 10-checkpoint trajectory costs one
-    eval's transfers plus per-epoch device time. LPIPS is not supported on
-    this path (it needs host-visible predictions — use ``compute_score``
-    with an explicit epoch). Returns the ``compute_score`` dict shape:
-    ``{metric: {"<module>_<parameter>_epNNNN": value}}``, epoch-sorted.
-    """
-    from dbsr_tpu.training.checkpoint import list_checkpoints, load_network
-
-    dataset = dataset or SyntheticBurstVal(dataset_root)
-    n_bursts = min(len(dataset), max_bursts or len(dataset))
-    batch_size = min(batch_size, n_bursts)
-
-    ckpt_dir = os.path.join(workspace_dir, module, parameter)
-    all_ck = list_checkpoints(ckpt_dir, net_name)
-    if epochs is not None:
-        want = set(epochs)
-        all_ck = [(e, p) for e, p in all_ck if e in want]
-    if not all_ck:
-        raise FileNotFoundError(
-            f"no checkpoints for {module}/{parameter} in {ckpt_dir}")
-
-    score_batch = _make_score_batch(boundary_ignore, with_msssim)
-    net, _, _ = load_network(all_ck[0][1])
-    scored_forward = _scored_forward_fn(net, score_batch)
-
-    # stage the val set on device once, reused across every epoch
-    staged = []
-    for _, bursts, gts in _iter_burst_batches(
-            dataset, n_bursts, batch_size, burst_sz, u16_transfer=True):
-        staged.append((bursts.shape[0],
-                       jnp.asarray(_pad_to(bursts, batch_size)),
-                       jnp.asarray(_pad_to(gts, batch_size))))
-
-    metric_names = ["psnr", "ssim"] + (["msssim"] if with_msssim else [])
-    scores_all: Dict[str, Dict[str, float]] = {m: {} for m in metric_names}
-    names = []
-    for e, path in all_ck:
-        params = load_network(path)[1]
-        pending = [(nb, scored_forward(params, b, g))
-                   for nb, b, g in staged]
-        host = jax.device_get([s for _, s in pending])
-        vals = {m: [] for m in metric_names}
-        for (nb, _), s in zip(pending, host):
-            for m in metric_names:
-                vals[m] += list(s[m][:nb])
-        name = f"{module}_{parameter}_ep{e:04d}"
-        names.append(name)
-        for m in metric_names:
-            scores_all[m][name] = float(np.mean(vals[m]))
-        print("[trajectory] " + name + ": " + ", ".join(
-            f"{m}={scores_all[m][name]:.4f}" for m in metric_names),
-            flush=True)
-
-    print(generate_formatted_report(names, scores_all))
-    return scores_all
+    loads one net per process). One-shot wrapper over
+    :class:`TrajectoryScorer`."""
+    scorer = TrajectoryScorer(dataset_root, boundary_ignore=boundary_ignore,
+                              with_msssim=with_msssim,
+                              max_bursts=max_bursts, burst_sz=burst_sz,
+                              dataset=dataset, batch_size=batch_size)
+    return scorer.score(module, parameter, workspace_dir=workspace_dir,
+                        net_name=net_name, epochs=epochs)

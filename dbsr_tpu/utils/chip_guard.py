@@ -36,9 +36,10 @@ import sys
 from typing import Iterable, List, Sequence, Tuple
 
 WATCHDOG_PATTERNS = ("campaign_watchdog.py",)
-DRIVER_PATTERNS = ("parity_campaign.py", "flow_ablation.py",
+DRIVER_PATTERNS = ("chip_queue.py", "queue_rerun.py",
+                   "parity_campaign.py", "flow_ablation.py",
                    "pwc_pretrain_probe.py")
-STAGE_PATTERNS = ("run_training.py", "run_evaluation.py",
+STAGE_PATTERNS = ("run_training.py", "run_evaluation.py", "eval_worker.py",
                   "generate_synthetic_burst_val.py", "train_perf_probe.py",
                   "synth_perf_probe.py", "tpu_parity_check.py")
 ALL_PATTERNS = WATCHDOG_PATTERNS + DRIVER_PATTERNS + STAGE_PATTERNS

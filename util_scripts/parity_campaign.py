@@ -90,6 +90,122 @@ def latest_epoch(ws, sub, name):
     return best
 
 
+class EvalWorkerClient:
+    """Drive a persistent eval worker (``util_scripts/eval_worker.py``)
+    from the campaign: launch it lazily, retire orphans from previous
+    driver incarnations, send score requests over the file RPC, and fall
+    back cleanly (returning False) so the caller can use the one-shot
+    subprocess eval when the worker is unhealthy."""
+
+    def __init__(self, ws: str, env, log_path: str, py: str,
+                 poll_s: float = 2.0, now=time.time, sleep=time.sleep):
+        self.root = os.path.join(ws, "eval_worker")
+        self.env = env
+        self.log_path = log_path
+        self.py = py
+        self.poll_s = poll_s
+        self._now = now
+        self._sleep = sleep
+        self.proc = None
+        self.rpc_dir = None
+        self._seq = 0
+        # retire orphaned workers from a previous (crashed) driver: each
+        # incarnation gets its own subdir, so a stop file in every
+        # existing one reaches whatever may still be polling
+        if os.path.isdir(self.root):
+            for d in os.listdir(self.root):
+                sub = os.path.join(self.root, d)
+                if os.path.isdir(sub):
+                    with open(os.path.join(sub, "stop"), "w"):
+                        pass
+
+    def _alive(self) -> bool:
+        return self.proc is not None and self.proc.poll() is None
+
+    def _ensure_ready(self, timeout: float) -> bool:
+        if not self._alive():
+            self.rpc_dir = os.path.join(
+                self.root, f"w{int(self._now())}")
+            os.makedirs(self.rpc_dir, exist_ok=True)
+            log = open(self.log_path, "a")
+            self.proc = subprocess.Popen(
+                [self.py, "util_scripts/eval_worker.py",
+                 "--dir", self.rpc_dir],
+                cwd=REPO, env=self.env, stdout=log,
+                stderr=subprocess.STDOUT)
+            print(f"eval worker launched (pid {self.proc.pid}, "
+                  f"rpc {self.rpc_dir})", flush=True)
+        deadline = self._now() + timeout
+        ready = os.path.join(self.rpc_dir, "ready")
+        while self._now() < deadline:
+            if os.path.exists(ready):
+                return True
+            if not self._alive():
+                print("eval worker died before ready", flush=True)
+                return False
+            self._sleep(self.poll_s)
+        print(f"eval worker not ready within {timeout}s", flush=True)
+        self.kill()
+        return False
+
+    def score(self, epochs, out_json: str, timeout: float) -> bool:
+        """Request a scoring; True iff ``out_json`` was written OK."""
+        try:
+            if not self._ensure_ready(timeout):
+                return False
+            self._seq += 1
+            rid = f"{self._seq:06d}"
+            tmp = os.path.join(self.rpc_dir, f".req_{rid}.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"epochs": list(epochs),
+                           "out_json": out_json}, f)
+            os.rename(tmp, os.path.join(self.rpc_dir, f"req_{rid}.json"))
+            done = os.path.join(self.rpc_dir, f"done_{rid}.json")
+            deadline = self._now() + timeout
+            while self._now() < deadline:
+                if os.path.exists(done):
+                    with open(done) as f:
+                        result = json.load(f)
+                    if not result.get("ok"):
+                        print(f"eval worker request failed: "
+                              f"{result.get('error')}", flush=True)
+                    return bool(result.get("ok")) and \
+                        os.path.exists(out_json)
+                if not self._alive():
+                    print("eval worker died mid-request", flush=True)
+                    return False
+                self._sleep(self.poll_s)
+            # a timed-out worker could still write out_json later and
+            # race the fallback eval — kill it first
+            print(f"eval worker request timed out ({timeout}s)",
+                  flush=True)
+            self.kill()
+            return False
+        except Exception as e:
+            print(f"eval worker client error: {e}", flush=True)
+            self.kill()
+            return False
+
+    def kill(self):
+        if self._alive():
+            self.proc.kill()
+            self.proc.wait()
+        self.proc = None
+
+    def stop(self):
+        """Graceful end-of-campaign shutdown (releases the worker's HBM
+        residency)."""
+        if self.rpc_dir and self._alive():
+            with open(os.path.join(self.rpc_dir, "stop"), "w"):
+                pass
+            try:
+                self.proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                self.kill()
+        else:
+            self.kill()
+
+
 def seed_pretrained_flow(ws: str, artifact: str, pwc_epochs: int) -> str:
     """Seed a wiped workspace's pretrain directory from the repo-baked
     params-only artifact (reset recovery). Only seeds when the workspace
@@ -131,6 +247,9 @@ def main():
     ap.add_argument("--eval_timeout", type=int, default=3600)
     ap.add_argument("--max_retries", type=int, default=3,
                     help="consecutive failed/hung attempts per stage")
+    ap.add_argument("--no_worker", action="store_true",
+                    help="disable the persistent eval worker (always use "
+                         "one-shot trajectory-eval subprocesses)")
     args = ap.parse_args()
 
     ws = os.path.abspath(args.workspace)
@@ -210,22 +329,30 @@ def main():
                   if os.path.exists(eval_marker(e))}
         return pending_eval_epochs(args.eval_every, now, scored)
 
+    worker = None if args.no_worker else \
+        EvalWorkerClient(ws, env, log_path, py)
+
     def eval_epochs(epochs):
-        """Score a BATCH of checkpoints in one trajectory-eval process
-        (val set staged on device once, one compiled graph — per-epoch
-        eval processes each paid ~30s compile retrieval + ~150s val-set
-        transfer over the relay). Per-epoch JSON markers keep resumption
+        """Score a BATCH of checkpoints, preferring the persistent eval
+        worker (val set stays staged in HBM + compiled graph reused
+        ACROSS batches for the whole campaign) with the one-shot
+        trajectory-eval subprocess as fallback (that one still pays
+        ~30s compile retrieval + ~150s val-set transfer per invocation
+        over the relay). Per-epoch JSON markers keep resumption
         idempotent at eval-point granularity."""
         if not epochs:
             return
         out_json = os.path.join(
             ws, f"eval_traj_{epochs[0]:04d}_{epochs[-1]:04d}.json")
-        run_with_retries(
-            [py, "run_evaluation.py", "synburst", "compute_score",
-             "dbsr_default", "--no_lpips", "--all_epochs",
-             "--epochs", ",".join(str(e) for e in epochs),
-             "--json", out_json],
-            args.eval_timeout, f"eval@{epochs}")
+        done = worker is not None and \
+            worker.score(epochs, out_json, args.eval_timeout)
+        if not done:
+            run_with_retries(
+                [py, "run_evaluation.py", "synburst", "compute_score",
+                 "dbsr_default", "--no_lpips", "--all_epochs",
+                 "--epochs", ",".join(str(e) for e in epochs),
+                 "--json", out_json],
+                args.eval_timeout, f"eval@{epochs}")
         with open(out_json) as f:
             scores = json.load(f)
         for row in trajectory_rows(scores, epochs):
@@ -255,6 +382,8 @@ def main():
             eval_epochs(pend)
 
     eval_epochs(pending_evals(args.epochs))
+    if worker is not None:
+        worker.stop()
     print("campaign complete", flush=True)
 
 
