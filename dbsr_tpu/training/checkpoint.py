@@ -101,6 +101,66 @@ def save_checkpoint(directory: str, net_name: str, epoch: int, state,
     return path
 
 
+class AsyncCheckpointWriter:
+    """Background checkpoint writer: the epoch loop hands a save thunk
+    off and keeps training while the device->host state fetch and the
+    disk write proceed on this thread (~20-30 s of the steady-state
+    epoch wall time over a relayed runtime is synchronous checkpoint
+    overhead otherwise).
+
+    Safety relies on two properties of the surrounding system: JAX
+    arrays are immutable and the train step does not donate its state
+    buffers, so a late fetch reads exactly the epoch-end values; and
+    every checkpoint CONSUMER in the trainer (resume, divergence
+    rollback) calls :meth:`flush` before resolving files, so readers
+    never observe a half-landed epoch. Write errors surface at the next
+    submit/flush (the epoch loop's fail-safe handles them like any
+    other crash). Depth-1 queue: at most one save queued behind the one
+    being written, bounding host RAM to ~2 serialized states.
+    """
+
+    def __init__(self):
+        import queue as _queue
+        import threading
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=1)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._q.task_done()
+                return
+            try:
+                fn()
+            except BaseException as e:  # surfaced on the train thread
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _raise_if_failed(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def submit(self, fn) -> None:
+        self._raise_if_failed()
+        self._q.put(fn)
+
+    def flush(self) -> None:
+        """Block until every submitted save is on disk (or raised)."""
+        self._q.join()
+        self._raise_if_failed()
+
+    def close(self) -> None:
+        self.flush()
+        self._q.put(None)
+        self._thread.join()
+
+
 def save_params_artifact(path: str, src_header: dict, state) -> str:
     """Write a PARAMS-ONLY checkpoint (same container format, header
     flagged ``params_only``) — graft/eval material small enough to keep

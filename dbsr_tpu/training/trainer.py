@@ -122,7 +122,8 @@ class Trainer:
                  init_burst_shape: Optional[tuple] = None,
                  cast_uint8_inputs: bool = True,
                  divergence_factor: Optional[float] = 1.4,
-                 intra_divergence_factor: Optional[float] = 3.0):
+                 intra_divergence_factor: Optional[float] = 3.0,
+                 async_checkpoint: bool = True):
         """``prepare_fn(key, host_batch) -> batch dict`` maps the host
         loader's output to the training batch on device. Default: on-device
         burst synthesis from RGB crops (``synthesize_batch`` with
@@ -183,6 +184,12 @@ class Trainer:
         # cycle immediately (MidEpochDivergence -> rollback). Interval
         # means are noisier than epoch means, hence the looser factor.
         self.intra_divergence_factor = intra_divergence_factor
+        # Checkpoint writes overlap the next epoch's training (the
+        # device->host fetch + disk write are ~20-30 s of an epoch's
+        # wall time over a relayed runtime). Every checkpoint READ path
+        # flushes first; see AsyncCheckpointWriter.
+        self._ckpt_writer = ckpt.AsyncCheckpointWriter() \
+            if async_checkpoint else None
         self._best_train_loss: Optional[float] = None
         self._retry_salt = 0
         self.stats: Dict[str, StatsDict] = {
@@ -376,12 +383,24 @@ class Trainer:
         return None
 
     def _save(self, state: TrainState):
-        ckpt.save_checkpoint(
-            self.workspace_dir, self.net_name, self.epoch, state,
-            net=self.net,
-            stats={name: s.averages() for name, s in self.stats.items()})
+        # snapshot mutable inputs NOW; the state pytree itself is
+        # immutable jax arrays (and never donated), so a deferred fetch
+        # reads the epoch-end values
+        stats = {name: s.averages() for name, s in self.stats.items()}
+        epoch = self.epoch
+
+        def write():
+            ckpt.save_checkpoint(self.workspace_dir, self.net_name, epoch,
+                                 state, net=self.net, stats=stats)
+
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.submit(write)
+        else:
+            write()
 
     def _load_latest(self, state: TrainState) -> TrainState:
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.flush()  # never resolve a half-landed epoch
         path = ckpt.resolve_checkpoint(self.workspace_dir, self.net_name)
         if path is None:
             return state
@@ -468,5 +487,7 @@ class Trainer:
                 self.epoch -= 1
                 state = self.init_state()
                 state = self._load_latest(state)
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.flush()
         print("Finished training!", flush=True)
         return state

@@ -123,7 +123,7 @@ def test_ablation_phase_retargets_watchdog_then_runs(tmp_path, monkeypatch):
     monkeypatch.setattr(
         cq, "retarget_watchdog",
         lambda log, pidfile=None: order.append(("watchdog", log)))
-    rc = cq.ablation_phase(args, run=lambda argv, cwd: order.append(
+    rc = cq.ablation_phase(args, run=lambda argv, cwd, env=None: order.append(
         ("run", argv)) or 0, watchdog_pidfile=str(tmp_path / "wd.pid"))
     assert rc == 0
     assert order[0][0] == "watchdog"
@@ -137,7 +137,7 @@ def test_probe_phase_transfer_gated_on_bigflow_artifact(tmp_path):
     os.makedirs(args.ablation_ws)
     calls = []
 
-    def run_saves(argv, cwd):
+    def run_saves(argv, cwd, env=None):
         calls.append(argv)
         open(argv[argv.index("--save") + 1], "w").write("x")
         return 0
@@ -153,13 +153,13 @@ def test_probe_phase_transfer_gated_on_bigflow_artifact(tmp_path):
     calls.clear()
     for f in os.listdir(args.ablation_ws):
         os.remove(os.path.join(args.ablation_ws, f))
-    cq.probe_phase(args, run=lambda argv, cwd: calls.append(argv) or 1)
+    cq.probe_phase(args, run=lambda argv, cwd, env=None: calls.append(argv) or 1)
     assert len(calls) == 1
 
     # probe_steps=0 disables entirely
     calls.clear()
     cq.probe_phase(_args(tmp_path, probe_steps=0),
-                   run=lambda argv, cwd: calls.append(argv) or 0)
+                   run=lambda argv, cwd, env=None: calls.append(argv) or 0)
     assert calls == []
 
 

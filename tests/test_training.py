@@ -392,3 +392,54 @@ def test_best_train_loss_tracks_epoch_minimum(tmp_path):
     trainer._cycle = fake_cycle
     trainer.train(3, load_latest=False)
     assert trainer._best_train_loss == pytest.approx(0.01)
+
+
+def test_async_checkpoint_writer_orders_and_flushes(tmp_path):
+    import time as _time
+    w = ckpt.AsyncCheckpointWriter()
+    order = []
+
+    def slow(i):
+        def fn():
+            _time.sleep(0.05)
+            order.append(i)
+            (tmp_path / f"f{i}").write_text("x")
+        return fn
+
+    for i in range(3):
+        w.submit(slow(i))
+    w.flush()
+    assert order == [0, 1, 2]
+    assert all((tmp_path / f"f{i}").exists() for i in range(3))
+    w.close()
+
+
+def test_async_checkpoint_writer_surfaces_errors():
+    import pytest as _pytest
+    w = ckpt.AsyncCheckpointWriter()
+    w.submit(lambda: (_ for _ in ()).throw(OSError("disk full")))
+    with _pytest.raises(RuntimeError, match="async checkpoint write"):
+        w.flush()
+    # the writer stays usable after an error was surfaced
+    w.submit(lambda: None)
+    w.close()
+
+
+def test_trainer_async_save_lands_before_resume(tmp_path):
+    """The trainer's checkpoint READ paths flush pending async writes:
+    a resume immediately after train() (and a rollback's _load_latest)
+    must see every epoch on disk."""
+    t1 = _make_trainer(tmp_path)
+    losses = iter([0.01, 0.011])
+
+    def fake_cycle(state, loader):
+        stats = t1.stats[loader.name]
+        stats.new_epoch()
+        stats.update_from({"Loss/total": next(losses)}, n=2)
+        return state
+
+    t1._cycle = fake_cycle
+    assert t1._ckpt_writer is not None  # async is the default
+    t1.train(2, load_latest=False)
+    ckpts = ckpt.list_checkpoints(str(tmp_path), "tiny")
+    assert [e for e, _ in ckpts] == [1, 2]

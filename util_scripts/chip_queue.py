@@ -50,11 +50,24 @@ def campaign_complete(ws: str) -> bool:
         return False
 
 
+def _child_env() -> dict:
+    """Child env with the repo importable: scripts run as
+    ``python util_scripts/x.py`` get util_scripts/ (not the repo root)
+    as sys.path[0], and the queue's own launcher may not have exported
+    PYTHONPATH=/root/repo. PREPEND rather than replace — dropping an
+    existing entry (e.g. a backend-plugin sitecustomize dir) breaks
+    device discovery in every descendant."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    return env
+
+
 def launch(argv, out_path: str, pidfile: str) -> None:
     with open(out_path, "a") as out:
         p = subprocess.Popen(argv, cwd=REPO, stdout=out,
                              stderr=subprocess.STDOUT,
-                             start_new_session=True)
+                             start_new_session=True, env=_child_env())
     with open(pidfile, "w") as f:
         f.write(str(p.pid))
     print(f"launched {' '.join(argv)} pid={p.pid}", flush=True)
@@ -128,7 +141,7 @@ def ablation_phase(args, run=subprocess.call,
     os.makedirs(args.ablation_ws, exist_ok=True)
     retarget_watchdog(os.path.join(args.ablation_ws, "ablation.log"),
                       pidfile=watchdog_pidfile)
-    rc = run(ablation_argv(args), cwd=REPO)
+    rc = run(ablation_argv(args), cwd=REPO, env=_child_env())
     print(f"ablation rc={rc}", flush=True)
     return rc
 
@@ -147,7 +160,8 @@ def probe_phase(args, run=subprocess.call) -> None:
         [sys.executable, "util_scripts/pwc_pretrain_probe.py",
          "--regime", "bigflow", "--weights", "fine",
          "--steps", str(args.probe_steps), "--save", big,
-         "--log", os.path.join(pws, "probe_bigflow.jsonl")], cwd=REPO)
+         "--log", os.path.join(pws, "probe_bigflow.jsonl")],
+        cwd=REPO, env=_child_env())
     print(f"probe bigflow rc={rc1}", flush=True)
     if rc1 == 0 and os.path.exists(big):
         rc2 = run(
@@ -157,7 +171,7 @@ def probe_phase(args, run=subprocess.call) -> None:
              "--init_from", big,
              "--save", os.path.join(pws, "pwc_curriculum_params.ckpt"),
              "--log", os.path.join(pws, "probe_dbsr_transfer.jsonl")],
-            cwd=REPO)
+            cwd=REPO, env=_child_env())
         print(f"probe dbsr-transfer rc={rc2}", flush=True)
 
 

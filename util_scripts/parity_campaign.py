@@ -36,6 +36,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# self-contained launch: `python util_scripts/parity_campaign.py` puts
+# util_scripts/ (not the repo root) on sys.path, and the launcher's env
+# may not carry PYTHONPATH=/root/repo (the rerun queue learned this the
+# hard way: run_with_retries crashed on `import dbsr_tpu` because the
+# only other insert lived behind an early return in seed_pretrained_flow)
+sys.path.insert(0, REPO)
 
 
 def sh(args, timeout, env, log_path):

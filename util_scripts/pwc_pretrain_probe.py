@@ -32,7 +32,13 @@ Weights:
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# self-contained launch (sys.path[0] is util_scripts/, not the repo)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
