@@ -184,3 +184,16 @@ def test_parse_args_defaults():
     assert (a.ablation_epochs, a.max_relaunches, a.probe_steps) == \
         (20, 3, 30000)
     assert a.ablation_arms == "e2e,scratch"
+
+
+def test_child_env_prepends_repo_to_pythonpath(monkeypatch):
+    """Children must be able to `import dbsr_tpu` regardless of the
+    launcher's env, WITHOUT dropping existing entries (e.g. a backend
+    plugin's sitecustomize dir)."""
+    monkeypatch.setenv("PYTHONPATH", "/some/site")
+    env = cq._child_env()
+    parts = env["PYTHONPATH"].split(os.pathsep)
+    assert parts[0] == cq.REPO and "/some/site" in parts
+
+    monkeypatch.delenv("PYTHONPATH")
+    assert cq._child_env()["PYTHONPATH"] == cq.REPO
