@@ -19,10 +19,16 @@ def _state(pid):
 
 @pytest.fixture
 def decoy():
-    """A harmless subprocess whose cmdline carries a unique marker."""
+    """A harmless subprocess whose cmdline carries a unique marker.
+    Waits until the process is visible to the /proc cmdline scan — under
+    heavy load (e.g. a concurrent real bench) the exec can lag the
+    Popen return long enough for an immediate scan to miss it."""
     marker = f"chip_guard_decoy_{os.getpid()}"
     p = subprocess.Popen(
         [sys.executable, "-c", "import time; time.sleep(300)", marker])
+    deadline = time.time() + 10
+    while time.time() < deadline and not chip_guard.find_pids((marker,)):
+        time.sleep(0.05)
     yield p, marker
     p.kill()
     p.wait()
