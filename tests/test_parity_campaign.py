@@ -144,3 +144,11 @@ def test_chip_queue_helpers(tmp_path):
     dead.write_text("999999999")
     assert not cq.alive(str(dead))
     assert not cq.alive(str(tmp_path / "missing.pid"))
+
+
+def test_train_argv_with_overrides():
+    argv = pc.train_argv("py", 25, train_set=["seed=2", "pool_size=512"])
+    assert argv == ["py", "run_training.py", "dbsr", "default_synthetic",
+                    "--set", "epochs=25", "--set", "seed=2",
+                    "--set", "pool_size=512"]
+    assert pc.train_argv("py", 5)[-2:] == ["--set", "epochs=5"]

@@ -85,6 +85,17 @@ def trajectory_rows(scores, epochs):
     return rows
 
 
+def train_argv(py, target_epochs, train_set=()):
+    """run_training argv for one campaign chunk; ``train_set`` items are
+    extra ``--set k=v`` overrides (e.g. ``seed=2`` for a seed-variance
+    arm scoring on the same frozen val set)."""
+    argv = [py, "run_training.py", "dbsr", "default_synthetic",
+            "--set", f"epochs={target_epochs}"]
+    for kv in train_set:
+        argv += ["--set", kv]
+    return argv
+
+
 def latest_epoch(ws, sub, name):
     import glob
     import re
@@ -256,6 +267,11 @@ def main():
     ap.add_argument("--no_worker", action="store_true",
                     help="disable the persistent eval worker (always use "
                          "one-shot trajectory-eval subprocesses)")
+    ap.add_argument("--train_set", action="append", default=[],
+                    metavar="K=V",
+                    help="extra --set override for every training stage "
+                         "(repeatable; e.g. --train_set seed=2 for a "
+                         "seed-variance campaign on the same val set)")
     args = ap.parse_args()
 
     ws = os.path.abspath(args.workspace)
@@ -378,10 +394,8 @@ def main():
         if done >= args.epochs:
             break
         target = min(done + args.chunk, args.epochs)
-        run_with_retries(
-            [py, "run_training.py", "dbsr", "default_synthetic",
-             "--set", f"epochs={target}"],
-            args.chunk_timeout, f"train to {target}")
+        run_with_retries(train_argv(py, target, args.train_set),
+                         args.chunk_timeout, f"train to {target}")
         now = latest_epoch(ws, "dbsr/default_synthetic", "dbsr_synthetic")
         pend = pending_evals(now)
         if len(pend) >= args.eval_batch or now >= args.epochs:

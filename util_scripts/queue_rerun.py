@@ -110,6 +110,10 @@ def main(argv=None):
     ap.add_argument("--from_epoch", type=int, default=5)
     ap.add_argument("--queue_pidfile", default="/tmp/chip_queue.pid")
     ap.add_argument("--poll_s", type=int, default=60)
+    ap.add_argument("--campaign_args", default="",
+                    help="extra args appended to the parity_campaign "
+                         "launch (space-separated), e.g. "
+                         "'--train_set seed=2' for a seed-variance arm")
     args = ap.parse_args(argv)
 
     print(f"waiting for {args.queue_pidfile} to exit", flush=True)
@@ -122,7 +126,8 @@ def main(argv=None):
 
     cq.retarget_watchdog(os.path.join(args.dst_ws, "campaign.log"))
     cq.launch([sys.executable, "util_scripts/parity_campaign.py",
-               "--workspace", args.dst_ws, "--eval_batch", "2"],
+               "--workspace", args.dst_ws, "--eval_batch", "2"]
+              + args.campaign_args.split(),
               os.path.join(args.dst_ws, "driver.out"),
               cq.CAMPAIGN_PIDFILE)
     print("guarded rerun launched", flush=True)
