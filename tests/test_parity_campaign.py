@@ -152,3 +152,28 @@ def test_train_argv_with_overrides():
                     "--set", "epochs=25", "--set", "seed=2",
                     "--set", "pool_size=512"]
     assert pc.train_argv("py", 5)[-2:] == ["--set", "epochs=5"]
+
+
+def test_export_best_dbsr_picks_max_psnr(tmp_path):
+    import importlib.util
+    import json as _json
+    spec = importlib.util.spec_from_file_location(
+        "export_best_dbsr",
+        os.path.join(os.path.dirname(__file__), os.pardir, "util_scripts",
+                     "export_best_dbsr.py"))
+    eb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(eb)
+
+    traj = tmp_path / "campaign_trajectory.jsonl"
+    with open(traj, "w") as f:
+        f.write(_json.dumps({"epoch": 5, "psnr": 30.0}) + "\n")
+        f.write(_json.dumps({"epoch": 10, "psnr": 34.2}) + "\n")
+        # re-scored epoch: the later line must win
+        f.write(_json.dumps({"epoch": 5, "psnr": 35.0}) + "\n")
+        f.write(_json.dumps({"epoch": 5, "psnr": 29.0}) + "\n")
+    assert eb.best_epoch(str(traj)) == (10, 34.2)
+
+    with pytest.raises(ValueError, match="no scored epochs"):
+        empty = tmp_path / "empty.jsonl"
+        empty.write_text("")
+        eb.best_epoch(str(empty))
