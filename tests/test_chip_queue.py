@@ -197,3 +197,41 @@ def test_child_env_prepends_repo_to_pythonpath(monkeypatch):
 
     monkeypatch.delenv("PYTHONPATH")
     assert cq._child_env()["PYTHONPATH"] == cq.REPO
+
+
+def test_find_driver_scans_proc(tmp_path):
+    proc = tmp_path / "proc"
+    for pid, cmd in ((123, "python parity_campaign.py --workspace /ws/a"),
+                     (456, "python parity_campaign.py --workspace /ws/b"),
+                     (789, "python run_training.py dbsr")):
+        d = proc / str(pid)
+        d.mkdir(parents=True)
+        (d / "cmdline").write_bytes(cmd.replace(" ", "\0").encode())
+    (proc / "self").mkdir()  # non-numeric entries are skipped
+    assert cq.find_driver("/ws/a", proc=str(proc)) == 123
+    assert cq.find_driver("/ws/b", proc=str(proc)) == 456
+    assert cq.find_driver("/ws/c", proc=str(proc)) is None
+
+
+def test_campaign_phase_adopts_stale_pidfile_driver(tmp_path, monkeypatch):
+    """A clobbered pidfile with a live driver must NOT trigger a
+    duplicate relaunch — the queue adopts the found pid."""
+    args = _args(tmp_path)
+    pidfile = str(tmp_path / "campaign.pid")
+    (tmp_path / "camp").mkdir()
+    monkeypatch.setattr(cq, "find_driver",
+                        lambda ws: 4242 if ws == args.campaign_ws else None)
+    launched = []
+    monkeypatch.setattr(cq, "launch",
+                        lambda argv, out, pf: launched.append(argv))
+    sleeps = [0]
+
+    def fake_sleep(s):
+        sleeps[0] += 1
+        if sleeps[0] >= 2:
+            _mark_complete(args.campaign_ws)
+
+    cq.campaign_phase(args, pidfile=pidfile, sleep=fake_sleep)
+    assert launched == []  # adopted, never relaunched
+    with open(pidfile) as f:
+        assert f.read() == "4242"

@@ -50,6 +50,26 @@ def campaign_complete(ws: str) -> bool:
         return False
 
 
+def find_driver(ws: str, proc: str = "/proc"):
+    """Pid of a live parity_campaign driver for ``ws`` found by /proc
+    cmdline scan, else None. Guards against a CLOBBERED pidfile: going
+    by the pidfile alone, a stale entry makes the queue relaunch a
+    SECOND driver over the same workspace — two trainers then race on
+    one chip and one checkpoint directory (observed live in round 3
+    when an unrelated launch overwrote /tmp/campaign.pid)."""
+    for pid in os.listdir(proc):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(os.path.join(proc, pid, "cmdline"), "rb") as f:
+                cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
+        except OSError:
+            continue
+        if "parity_campaign.py" in cmd and ws in cmd:
+            return int(pid)
+    return None
+
+
 def _child_env() -> dict:
     """Child env with the repo importable: scripts run as
     ``python util_scripts/x.py`` get util_scripts/ (not the repo root)
@@ -98,6 +118,16 @@ def campaign_phase(args, pidfile: str = CAMPAIGN_PIDFILE, poll_s: int = 120,
     relaunches = 0
     while not campaign_complete(args.campaign_ws):
         if alive(pidfile):
+            sleep(poll_s)
+            continue
+        found = find_driver(args.campaign_ws)
+        if found is not None:
+            # pidfile went stale (clobbered / queue restart) but a driver
+            # IS running — adopt it instead of launching a duplicate
+            print(f"pidfile stale but driver {found} is running; adopting",
+                  flush=True)
+            with open(pidfile, "w") as f:
+                f.write(str(found))
             sleep(poll_s)
             continue
         if relaunches >= args.max_relaunches:
