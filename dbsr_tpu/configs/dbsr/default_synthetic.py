@@ -218,7 +218,12 @@ def run(settings):
                       if settings.env.tensorboard_dir else None,
                       mesh=mesh, print_interval=settings.print_interval,
                       description=settings.description,
-                      prepare_fn=prepare_fn, cast_uint8_inputs=cast_uint8)
+                      prepare_fn=prepare_fn, cast_uint8_inputs=cast_uint8,
+                      # --set seed=N varies BOTH the source pools (above)
+                      # and the on-device synthesis/crop streams — a full
+                      # data-stream variance arm (init is still pinned by
+                      # checkpoint restore when resuming from epoch 0)
+                      seed=getattr(settings, "seed", 0))
 
     # warm-start: graft pretrained flow weights when starting fresh
     if flow_ckpt is not None and \
