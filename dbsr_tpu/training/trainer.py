@@ -123,7 +123,7 @@ class Trainer:
                  cast_uint8_inputs: bool = True,
                  divergence_factor: Optional[float] = 1.4,
                  intra_divergence_factor: Optional[float] = 3.0,
-                 async_checkpoint: bool = True):
+                 async_checkpoint: bool = False):
         """``prepare_fn(key, host_batch) -> batch dict`` maps the host
         loader's output to the training batch on device. Default: on-device
         burst synthesis from RGB crops (``synthesize_batch`` with
@@ -184,10 +184,15 @@ class Trainer:
         # cycle immediately (MidEpochDivergence -> rollback). Interval
         # means are noisier than epoch means, hence the looser factor.
         self.intra_divergence_factor = intra_divergence_factor
-        # Checkpoint writes overlap the next epoch's training (the
-        # device->host fetch + disk write are ~20-30 s of an epoch's
-        # wall time over a relayed runtime). Every checkpoint READ path
-        # flushes first; see AsyncCheckpointWriter.
+        # async_checkpoint overlaps checkpoint writes with the next
+        # epoch's training. Default OFF after a live negative result on
+        # the relayed runtime: a background 156 MB state fetch that takes
+        # ~25 s exclusively took ~6 MINUTES concurrent with training
+        # dispatch (the relay starves device->host transfers behind the
+        # execution stream), so the writer backlog throttled epochs to
+        # ~4 min — worse than paying the save synchronously. Enable on
+        # runtimes with fair transfer scheduling. Every checkpoint READ
+        # path flushes first; see AsyncCheckpointWriter.
         self._ckpt_writer = ckpt.AsyncCheckpointWriter() \
             if async_checkpoint else None
         self._best_train_loss: Optional[float] = None

@@ -439,7 +439,7 @@ def test_trainer_async_save_lands_before_resume(tmp_path):
         return state
 
     t1._cycle = fake_cycle
-    assert t1._ckpt_writer is not None  # async is the default
+    t1._ckpt_writer = ckpt.AsyncCheckpointWriter()  # opt-in
     t1.train(2, load_latest=False)
     ckpts = ckpt.list_checkpoints(str(tmp_path), "tiny")
     assert [e for e, _ in ckpts] == [1, 2]
