@@ -63,3 +63,31 @@ def test_cli_main(tmp_path):
     a = _png(tmp_path / "a.png", (9, 9, 9))
     assert mc.main([f"a={a}", "--out", str(tmp_path / "c"), "--gif"]) == 0
     assert os.path.exists(tmp_path / "c.gif")
+
+
+def test_gallery_helpers():
+    import importlib.util
+    import os
+
+    import numpy as np
+    spec = importlib.util.spec_from_file_location(
+        "make_gallery",
+        os.path.join(os.path.dirname(__file__), os.pardir, "util_scripts",
+                     "make_gallery.py"))
+    mg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mg)
+
+    raw = np.zeros((2, 2, 4), np.float32)
+    raw[..., 0] = 0.8          # R
+    raw[..., 1] = 0.2          # G1
+    raw[..., 2] = 0.6          # G2
+    raw[..., 3] = 0.1          # B
+    rgb = mg._pseudo_rgb_x(raw, scale=3)
+    assert rgb.shape == (6, 6, 3)
+    np.testing.assert_allclose(rgb[0, 0], [0.8, 0.4, 0.1])
+    # nearest upscale: constant within each 3x3 block
+    assert (rgb[:3, :3] == rgb[0, 0]).all()
+
+    g = mg._gamma(np.array([0.0, 0.25, 1.0, 1.7]))
+    assert g[0] == 0.0 and g[2] == 1.0 and g[3] == 1.0
+    assert 0.25 < g[1] < 1.0  # gamma brightens linear mid-tones
