@@ -201,9 +201,17 @@ def run(settings):
         dtype=compute_dtype)
 
     actor = make_synthetic_actor(net, loss_weight=1.0, boundary_ignore=40)
+    # --set masked_adam=True drops the frozen aligner's (all-zero) Adam
+    # moments from opt_state: ~75 MB less per checkpoint save/fetch.
+    # Opt-in because it changes opt_state structure (no cross-restore
+    # with unmasked checkpoints) — fresh runs only.
+    freeze_subtree = "alignment_net" if (
+        not train_alignment and getattr(settings, "masked_adam", False)) \
+        else None
     tx = make_optimizer(base_lr=1e-4, step_size_epochs=40, gamma=0.2,
                         steps_per_epoch=steps_per_epoch,
-                        clip_norm=getattr(settings, "grad_clip", None))
+                        clip_norm=getattr(settings, "grad_clip", None),
+                        freeze_subtree=freeze_subtree)
 
     mesh = make_mesh() if settings.multi_device and len(jax.devices()) > 1 \
         else None

@@ -48,15 +48,36 @@ def step_lr_schedule(base_lr: float, step_size_epochs: int, gamma: float,
 def make_optimizer(base_lr: float = 1e-4, step_size_epochs: int = 40,
                    gamma: float = 0.2, steps_per_epoch: int = 1000,
                    clip_norm: Optional[float] = None,
+                   freeze_subtree: Optional[str] = None,
                    ) -> optax.GradientTransformation:
     """Adam with the reference's StepLR decay (lr 1e-4, x0.2 every 40
     epochs for the synthetic config).
 
     ``clip_norm`` prepends global-norm gradient clipping — OFF by default
     (the reference protocol doesn't clip); available as a bf16-spike
-    guard via ``--set grad_clip=1.0`` on the training CLI."""
+    guard via ``--set grad_clip=1.0`` on the training CLI.
+
+    ``freeze_subtree`` masks Adam off every param whose tree path
+    contains the substring (e.g. ``"alignment_net"`` under the
+    frozen-flow protocol): frozen params' gradients are already zero via
+    stop_gradient, but UNMASKED Adam still carries two full f32 moment
+    arrays per frozen param — ~75 MB of zeros in every checkpoint
+    save/fetch for the 9.4M-param aligner. WARNING: masking changes the
+    opt_state STRUCTURE, so checkpoints written with and without it do
+    not cross-restore — only enable for fresh runs
+    (``--set masked_adam=True``)."""
     adam = optax.adam(
         step_lr_schedule(base_lr, step_size_epochs, gamma, steps_per_epoch))
+    if freeze_subtree is not None:
+        # multi_transform (not optax.masked: masked PASSES THROUGH the
+        # raw gradient as the update for masked-out leaves — only safe
+        # under stop_gradient; set_to_zero is robust regardless)
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "freeze" if freeze_subtree in
+                jax.tree_util.keystr(path) else "train", params)
+        adam = optax.multi_transform(
+            {"train": adam, "freeze": optax.set_to_zero()}, labels)
     if clip_norm is None:
         return adam
     return optax.chain(optax.clip_by_global_norm(clip_norm), adam)

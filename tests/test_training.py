@@ -443,3 +443,46 @@ def test_trainer_async_save_lands_before_resume(tmp_path):
     t1.train(2, load_latest=False)
     ckpts = ckpt.list_checkpoints(str(tmp_path), "tiny")
     assert [e for e, _ in ckpts] == [1, 2]
+
+
+def test_masked_adam_drops_frozen_moments(tmp_path):
+    """freeze_subtree masks Adam off the frozen aligner: its moment
+    arrays vanish from opt_state (smaller checkpoints), updates leave
+    the frozen params untouched, and the masked state round-trips
+    through the checkpoint container."""
+    net = dbsrnet_tiny(upsample_factor=4, flow_net="conv")
+    burst = jnp.zeros((1, 3) + TINY_CFG.burst_hw + (4,))
+    params = net.init(jax.random.key(0), burst)
+
+    def n_moment_leaves(tx):
+        st = TrainState.create(params, tx)
+        return len(jax.tree_util.tree_leaves(st.opt_state)), st
+
+    full_n, _ = n_moment_leaves(make_optimizer(1e-3, 40, 0.2,
+                                               steps_per_epoch=4))
+    masked_n, st = n_moment_leaves(make_optimizer(
+        1e-3, 40, 0.2, steps_per_epoch=4, freeze_subtree="alignment_net"))
+    assert masked_n < full_n
+
+    # an update with nonzero grads everywhere must not move frozen params
+    tx = make_optimizer(1e-3, 40, 0.2, steps_per_epoch=4,
+                        freeze_subtree="alignment_net")
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, new_opt = tx.update(grads, st.opt_state, st.params)
+    st2 = st.replace(params=optax.apply_updates(st.params, updates),
+                     opt_state=new_opt, step=st.step + 1)
+    before = params["params"]["encoder"]["alignment_net"]
+    after = st2.params["params"]["encoder"]["alignment_net"]
+    assert jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), before, after))
+    moved = st2.params["params"]["decoder"]
+    assert not jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)),
+        params["params"]["decoder"], moved))
+
+    # checkpoint round-trip with a matching masked template
+    path = ckpt.save_checkpoint(str(tmp_path), "tiny", 1, st2, net=net)
+    _, restored = ckpt.load_checkpoint(path, st)
+    assert jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: bool(jnp.allclose(a, b)),
+        st2.params, restored.params))
