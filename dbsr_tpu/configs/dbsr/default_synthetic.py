@@ -45,14 +45,18 @@ def make_data(settings, cfg, steps_per_epoch: int, val_batches: int = 200,
 
         train_ds = ZurichRAW2RGB(zdir, "train")
         val_ds = ZurichRAW2RGB(zdir, "test")
+        # --set seed=N must vary the HOST crop/flip streams too, or a
+        # "seed-variance" arm on the real-data path replays the same
+        # image/crop sequence and only the device-side keys differ
+        seed = getattr(settings, "seed", 0)
         train_batcher = CropBatcher(
             RandomImageSampler([train_ds], [1.0],
                                samples_per_epoch=B * steps_per_epoch),
-            B, cfg.pre_crop_sz, random_flip=True)
+            B, cfg.pre_crop_sz, random_flip=True, seed=seed)
         val_batcher = CropBatcher(
             RandomImageSampler([val_ds], [1.0],
                                samples_per_epoch=B * val_batches),
-            B, cfg.pre_crop_sz, random_flip=True, seed=1)
+            B, cfg.pre_crop_sz, random_flip=True, seed=seed + 1)
         loaders = [
             LoaderSpec("train", train_batcher, training=True),
             LoaderSpec("val", val_batcher, training=False,

@@ -59,7 +59,8 @@ class MicroBatcher:
         self._cond = threading.Condition(self._lock)
         self._pending: List[_Item] = []
         self._closed = False
-        self.batch_occupancies: List[int] = []
+        from collections import deque
+        self.batch_occupancies = deque(maxlen=10000)  # bounded, see stats
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="microbatcher")
         self._thread.start()
@@ -119,30 +120,39 @@ class MicroBatcher:
 
 
 class ServingStats:
-    def __init__(self):
+    """Bounded: percentiles/means are over the most recent
+    ``window`` samples (a long-lived daemon must not grow per-request
+    state without bound); ``requests``/``errors`` are lifetime
+    counters."""
+
+    def __init__(self, window: int = 10000):
+        from collections import deque
         self._lock = threading.Lock()
-        self.latencies: List[float] = []
+        self.latencies = deque(maxlen=window)
+        self.requests = 0
         self.errors = 0
 
     def record(self, seconds: float):
         with self._lock:
+            self.requests += 1
             self.latencies.append(seconds)
 
     def record_error(self):
         with self._lock:
             self.errors += 1
 
-    def summary(self, occupancies: List[int]) -> dict:
+    def summary(self, occupancies) -> dict:
         with self._lock:
             lat = sorted(self.latencies)
-            out = {"requests": len(lat), "errors": self.errors}
+            out = {"requests": self.requests, "errors": self.errors}
             if lat:
                 out["latency_mean_ms"] = 1e3 * float(np.mean(lat))
                 out["latency_p50_ms"] = 1e3 * lat[len(lat) // 2]
                 out["latency_p95_ms"] = 1e3 * lat[
                     min(len(lat) - 1, int(0.95 * len(lat)))]
-            if occupancies:
-                out["mean_batch_occupancy"] = float(np.mean(occupancies))
+            occ = list(occupancies)
+            if occ:
+                out["mean_batch_occupancy"] = float(np.mean(occ))
             return out
 
 
@@ -202,15 +212,29 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 self._reply_json(404, {"error": f"no route {self.path}"})
                 return
             t0 = time.perf_counter()
+            # client errors (malformed body, wrong shape) -> 400;
+            # server-side prediction failures (e.g. device lost, which
+            # fails every co-batched request) -> 503 so clients/load
+            # balancers retry and monitoring doesn't blame the sender
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if not 0 < n <= MAX_BODY_BYTES:
                     raise ValueError(f"bad Content-Length {n}")
                 burst = _decode_burst(self.rfile.read(n))
-                pred = batcher.submit(burst)
+                want = predictor.in_shape[1:]
+                if burst.shape != want:
+                    raise ValueError(
+                        f"expected one burst of shape {want}, "
+                        f"got {burst.shape}")
             except Exception as e:
                 stats.record_error()
                 self._reply_json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                pred = batcher.submit(burst)
+            except Exception as e:
+                stats.record_error()
+                self._reply_json(503, {"error": f"{type(e).__name__}: {e}"})
                 return
             stats.record(time.perf_counter() - t0)
             self._reply(200, _encode_array(pred),

@@ -150,10 +150,21 @@ class AsyncCheckpointWriter:
         self._raise_if_failed()
         self._q.put(fn)
 
-    def flush(self) -> None:
-        """Block until every submitted save is on disk (or raised)."""
+    def flush(self, raise_on_error: bool = True) -> None:
+        """Block until every submitted save is on disk (or raised).
+        ``raise_on_error=False`` logs a pending write error instead of
+        raising — for flushes INSIDE failure handlers (divergence/crash
+        rollback), where raising would escape the fail-safe retry
+        budget; the rollback then simply resumes from the last
+        successfully written epoch."""
         self._q.join()
-        self._raise_if_failed()
+        if raise_on_error:
+            self._raise_if_failed()
+        elif self._err is not None:
+            err, self._err = self._err, None
+            print(f"WARNING: async checkpoint write failed ({err!r}); "
+                  "resuming from the last successfully written epoch",
+                  flush=True)
 
     def close(self) -> None:
         self.flush()

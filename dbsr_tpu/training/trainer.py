@@ -405,7 +405,11 @@ class Trainer:
 
     def _load_latest(self, state: TrainState) -> TrainState:
         if self._ckpt_writer is not None:
-            self._ckpt_writer.flush()  # never resolve a half-landed epoch
+            # never resolve a half-landed epoch; a pending WRITE error is
+            # logged, not raised — this runs inside the fail-safe retry
+            # handlers, and the rollback is correct either way (it just
+            # resumes from the last epoch that did land)
+            self._ckpt_writer.flush(raise_on_error=False)
         path = ckpt.resolve_checkpoint(self.workspace_dir, self.net_name)
         if path is None:
             return state

@@ -202,14 +202,17 @@ def test_child_env_prepends_repo_to_pythonpath(monkeypatch):
 def test_find_driver_scans_proc(tmp_path):
     proc = tmp_path / "proc"
     for pid, cmd in ((123, "python parity_campaign.py --workspace /ws/a"),
-                     (456, "python parity_campaign.py --workspace /ws/b"),
+                     (456, "python parity_campaign.py --workspace /ws/ab"),
                      (789, "python run_training.py dbsr")):
         d = proc / str(pid)
         d.mkdir(parents=True)
         (d / "cmdline").write_bytes(cmd.replace(" ", "\0").encode())
     (proc / "self").mkdir()  # non-numeric entries are skipped
     assert cq.find_driver("/ws/a", proc=str(proc)) == 123
-    assert cq.find_driver("/ws/b", proc=str(proc)) == 456
+    # /ws/a must NOT match the /ws/ab driver (prefix collision — the
+    # live layout has .../campaign_r3 and .../campaign_r3b side by side)
+    assert cq.find_driver("/ws/ab", proc=str(proc)) == 456
+    assert cq.find_driver("/ws/a/", proc=str(proc)) == 123  # normpath
     assert cq.find_driver("/ws/c", proc=str(proc)) is None
 
 

@@ -123,9 +123,21 @@ def test_http_round_trip_with_fake_predictor():
             urllib.request.urlopen(req)
         assert exc.value.code == 400
 
+        # server-side prediction failure -> 503 (retryable), NOT 400:
+        # the input was well-formed
+        pred.fail_next = True
+        buf = io.BytesIO()
+        np.save(buf, b)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 503
+
         stats = json.load(urllib.request.urlopen(
             f"http://127.0.0.1:{port}/stats"))
-        assert stats["requests"] == 2 and stats["errors"] == 1
+        assert stats["requests"] == 2 and stats["errors"] == 2
         assert "latency_p95_ms" in stats
     finally:
         server.shutdown()

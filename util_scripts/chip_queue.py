@@ -51,22 +51,32 @@ def campaign_complete(ws: str) -> bool:
 
 
 def find_driver(ws: str, proc: str = "/proc"):
-    """Pid of a live parity_campaign driver for ``ws`` found by /proc
-    cmdline scan, else None. Guards against a CLOBBERED pidfile: going
-    by the pidfile alone, a stale entry makes the queue relaunch a
-    SECOND driver over the same workspace — two trainers then race on
-    one chip and one checkpoint directory (observed live in round 3
-    when an unrelated launch overwrote /tmp/campaign.pid)."""
+    """Pid of a live parity_campaign driver for EXACTLY workspace ``ws``
+    (by its ``--workspace`` argument, compared normpathed — a raw
+    substring match would adopt a driver for ``.../r3b`` when asked
+    about ``.../r3``), found by /proc cmdline scan, else None. Guards
+    against a CLOBBERED pidfile: going by the pidfile alone, a stale
+    entry makes the queue relaunch a SECOND driver over the same
+    workspace — two trainers then race on one chip and one checkpoint
+    directory (observed live in round 3 when an unrelated launch
+    overwrote /tmp/campaign.pid). (Deliberately re-implements a tiny
+    /proc scan instead of importing dbsr_tpu.utils.chip_guard: the
+    queue must run without the repo on the launcher's PYTHONPATH.)"""
+    want = os.path.normpath(ws)
     for pid in os.listdir(proc):
         if not pid.isdigit():
             continue
         try:
             with open(os.path.join(proc, pid, "cmdline"), "rb") as f:
-                cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
+                argv = f.read().decode("utf-8", "replace").split("\0")
         except OSError:
             continue
-        if "parity_campaign.py" in cmd and ws in cmd:
-            return int(pid)
+        if not any("parity_campaign.py" in a for a in argv):
+            continue
+        for i, a in enumerate(argv[:-1]):
+            if a == "--workspace" and \
+                    os.path.normpath(argv[i + 1]) == want:
+                return int(pid)
     return None
 
 

@@ -75,9 +75,18 @@ def main(argv=None):
     spec.loader.exec_module(mc)
 
     os.makedirs(args.out, exist_ok=True)
+    # predict in REAL batches: per-burst calls would pad 1 -> batch_size
+    # and pay batch_size x the device work per burst
+    items = {i: ds[i] for i in idxs}
+    preds = {}
+    bs = pred_fn.batch_size
+    for lo in range(0, len(idxs), bs):
+        chunk = idxs[lo:lo + bs]
+        out = pred_fn(np.stack([items[i][0] for i in chunk]))
+        preds.update(zip(chunk, out))
     for i in idxs:
-        burst, gt, meta = ds[i]
-        pred = pred_fn(burst[None])[0]
+        burst, gt, meta = items[i]
+        pred = preds[i]
         scale = gt.shape[0] // hw[0]
         err = float(np.asarray(psnr_fn(
             jnp.asarray(pred)[None], jnp.asarray(gt)[None],
