@@ -82,6 +82,9 @@ def main():
         if not epochs:
             p.error("--epochs must name at least one epoch")
 
+    from dbsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from dbsr_tpu.environment import env_settings
     env = env_settings()
     network_params = _load_experiment(args.experiment)

@@ -33,6 +33,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from dbsr_tpu.serving import load_predictor
+    from dbsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from dbsr_tpu.serving_daemon import make_server
 
     hw = tuple(int(x) for x in args.burst_hw.split(","))

@@ -11,6 +11,11 @@ import importlib
 
 
 def run_training(module: str, config: str, **overrides):
+    # Persistent compile cache: chunked campaigns pay the train-step
+    # compile once, not once per 5-epoch training process
+    from dbsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     # Multi-host: env-gated jax.distributed.initialize before any device
     # use (no-op unless DBSR_TPU_DIST=1; see dbsr_tpu/parallel/multihost.py)
     from dbsr_tpu.parallel.multihost import maybe_initialize_distributed

@@ -113,6 +113,8 @@ def main(argv=None):
     import importlib
 
     from dbsr_tpu.environment import env_settings
+    from dbsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     env = env_settings()
     n0 = importlib.import_module(
