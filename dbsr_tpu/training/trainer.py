@@ -275,8 +275,15 @@ class Trainer:
     def init_state(self) -> TrainState:
         burst_shape = self.init_burst_shape or (
             (1, self.cfg.burst_size) + self.cfg.burst_hw + (4,))
-        params = self.net.init(jax.random.key(self.seed),
-                               jnp.zeros(burst_shape))
+        # On remote/TPU backends, EAGER flax init is hundreds of
+        # individual op dispatches through the relay (~3 min of a 6-min
+        # chunk startup, measured); one jitted init is a single cached
+        # executable (~1 s retrieval with the persistent compile cache).
+        # CPU stays eager: there the jit compile itself would be the
+        # slow part (test suites build many tiny nets per process).
+        init = self.net.init if jax.default_backend() == "cpu" \
+            else jax.jit(self.net.init)
+        params = init(jax.random.key(self.seed), jnp.zeros(burst_shape))
         state = TrainState.create(params, self.tx)
         if self.mesh is not None:
             state = jax.device_put(state, replicated_sharding(self.mesh))
