@@ -34,4 +34,7 @@ def enable_persistent_cache(directory: str | None = None) -> str | None:
     jax.config.update("jax_compilation_cache_dir", directory)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # log WHY a compile missed the cache (key diffs) — misses cost
+    # minutes over the relay, so they should be visible in stage logs
+    jax.config.update("jax_explain_cache_misses", True)
     return directory
