@@ -36,7 +36,7 @@ import sys
 from typing import Iterable, List, Sequence, Tuple
 
 WATCHDOG_PATTERNS = ("campaign_watchdog.py",)
-DRIVER_PATTERNS = ("chip_queue.py", "queue_rerun.py",
+DRIVER_PATTERNS = ("chip_queue.py", "queue_rerun.py", "session_queue.py",
                    "parity_campaign.py", "flow_ablation.py",
                    "pwc_pretrain_probe.py")
 STAGE_PATTERNS = ("run_training.py", "run_evaluation.py", "eval_worker.py",
