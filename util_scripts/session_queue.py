@@ -88,6 +88,23 @@ def babysit_campaign(ws: str, extra_args, pidfile: str,
           f"(complete={cq.campaign_complete(ws)})", flush=True)
 
 
+def launch_snapshot(ws: str, launch=None, alive=None) -> str:
+    """Detach a reset-proofing snapshot daemon for ``ws`` (no-op when
+    one is already alive per its pidfile). The daemon commits the
+    campaign trajectory into dbsr_tpu/artifacts/campaigns/ as rows land
+    and the best params-only checkpoint on completion — VM resets wiped
+    two rounds of campaign results that lived only in the workspace."""
+    label = os.path.basename(os.path.normpath(ws))
+    pidfile = f"/tmp/snapshot_{label}.pid"
+    if (alive or cq.alive)(pidfile):
+        return pidfile
+    (launch or cq.launch)(
+        [sys.executable, "util_scripts/snapshot_campaign.py",
+         "--workspace", ws, "--label", label],
+        os.path.join(ws, "snapshot.out"), pidfile)
+    return pidfile
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--campaign_ws", required=True)
@@ -98,6 +115,8 @@ def main(argv=None):
     ap.add_argument("--max_relaunches", type=int, default=3)
     args = ap.parse_args(argv)
 
+    os.makedirs(args.campaign_ws, exist_ok=True)
+    launch_snapshot(args.campaign_ws)
     babysit_campaign(args.campaign_ws,
                      ["--chunk", str(args.chunk)],
                      cq.CAMPAIGN_PIDFILE, args.max_relaunches)
@@ -123,6 +142,8 @@ def main(argv=None):
     print(f"seed-2 workspace seeded={seeded} ({args.seed2_ws})",
           flush=True)
     cq.retarget_watchdog(os.path.join(args.seed2_ws, "campaign.log"))
+    os.makedirs(args.seed2_ws, exist_ok=True)
+    launch_snapshot(args.seed2_ws)
     babysit_campaign(args.seed2_ws,
                      ["--chunk", str(args.chunk),
                       "--train_set", "seed=2"],
