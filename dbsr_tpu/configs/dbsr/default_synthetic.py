@@ -150,7 +150,7 @@ def run(settings):
     from dbsr_tpu.training.actors import make_synthetic_actor
     from dbsr_tpu.training.checkpoint import (resolve_checkpoint,
                                               save_checkpoint)
-    from dbsr_tpu.training.state import make_optimizer
+    from dbsr_tpu.training.state import default_masked_adam, make_optimizer
     from dbsr_tpu.training.trainer import Trainer
 
     cfg = BurstConfig(
@@ -205,23 +205,24 @@ def run(settings):
         dtype=compute_dtype)
 
     actor = make_synthetic_actor(net, loss_weight=1.0, boundary_ignore=40)
-    # --set masked_adam=True drops the frozen aligner's (all-zero) Adam
-    # moments from opt_state: ~75 MB less per checkpoint save/fetch.
-    # Opt-in because it changes opt_state structure (no cross-restore
-    # with unmasked checkpoints) — fresh runs only.
-    freeze_subtree = "alignment_net" if (
-        not train_alignment and getattr(settings, "masked_adam", False)) \
-        else None
-    tx = make_optimizer(base_lr=1e-4, step_size_epochs=40, gamma=0.2,
-                        steps_per_epoch=steps_per_epoch,
-                        clip_norm=getattr(settings, "grad_clip", None),
-                        freeze_subtree=freeze_subtree)
-
-    mesh = make_mesh() if settings.multi_device and len(jax.devices()) > 1 \
-        else None
 
     workspace = os.path.join(settings.env.workspace_dir, "dbsr",
                              "default_synthetic")
+    # Masked Adam drops the frozen aligner's (all-zero) moments from
+    # opt_state: ~75 MB less per checkpoint save/fetch. Default ON for
+    # fresh frozen-flow runs; resumes auto-match the checkpoint's
+    # structure (masked/unmasked opt_states do not cross-restore).
+    # --set masked_adam=True/False overrides.
+    masked = default_masked_adam(
+        workspace, "dbsr_synthetic", frozen=not train_alignment,
+        explicit=getattr(settings, "masked_adam", None))
+    tx = make_optimizer(base_lr=1e-4, step_size_epochs=40, gamma=0.2,
+                        steps_per_epoch=steps_per_epoch,
+                        clip_norm=getattr(settings, "grad_clip", None),
+                        freeze_subtree="alignment_net" if masked else None)
+
+    mesh = make_mesh() if settings.multi_device and len(jax.devices()) > 1 \
+        else None
     trainer = Trainer(net, actor, tx, loaders, cfg, workspace,
                       net_name="dbsr_synthetic",
                       tensorboard_dir=os.path.join(
@@ -235,7 +236,8 @@ def run(settings):
                       # and the on-device synthesis/crop streams — a full
                       # data-stream variance arm (init is still pinned by
                       # checkpoint restore when resuming from epoch 0)
-                      seed=getattr(settings, "seed", 0))
+                      seed=getattr(settings, "seed", 0),
+                      header_settings={"masked_adam": masked})
 
     # warm-start: graft pretrained flow weights when starting fresh
     if flow_ckpt is not None and \
@@ -243,7 +245,8 @@ def run(settings):
         state = trainer.init_state()
         state = state.replace(
             params=graft_alignment_params(state.params, flow_ckpt))
-        save_checkpoint(workspace, "dbsr_synthetic", 0, state, net=net)
+        save_checkpoint(workspace, "dbsr_synthetic", 0, state, net=net,
+                        settings={"masked_adam": masked})
         print("grafted pretrained flow weights into encoder/alignment_net "
               "(saved as epoch-0 checkpoint)", flush=True)
 

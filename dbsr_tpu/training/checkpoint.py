@@ -195,6 +195,37 @@ def save_params_artifact(path: str, src_header: dict, state) -> str:
     return path
 
 
+def read_header(path: str) -> dict:
+    """Header only — no blob read/decode (cheap structure/metadata
+    sniffs on multi-hundred-MB checkpoints)."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a dbsr_tpu checkpoint")
+        (hlen,) = _struct.unpack("<Q", f.read(8))
+        return json.loads(f.read(hlen).decode())
+
+
+def opt_state_is_masked(path: str) -> bool:
+    """Whether ``path``'s serialized opt_state was written by a
+    masked (``optax.multi_transform``) optimizer — its state pytree
+    carries an ``inner_states`` mapping that plain Adam's tuple-of-
+    ScaleByAdamState does not. Legacy fallback for checkpoints that
+    predate the ``settings["masked_adam"]`` header flag; costs one full
+    blob restore."""
+    _, blob = _read(path)
+    raw = serialization.msgpack_restore(blob)
+    opt = raw.get("opt_state", {}) if isinstance(raw, dict) else {}
+    stack = [opt]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, dict):
+            if "inner_states" in node:
+                return True
+            stack.extend(node.values())
+    return False
+
+
 def _read(path: str) -> Tuple[dict, bytes]:
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))

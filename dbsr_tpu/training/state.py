@@ -81,3 +81,30 @@ def make_optimizer(base_lr: float = 1e-4, step_size_epochs: int = 40,
     if clip_norm is None:
         return adam
     return optax.chain(optax.clip_by_global_norm(clip_norm), adam)
+
+
+def default_masked_adam(workspace_dir: str, net_name: str, frozen: bool,
+                        explicit: Optional[bool] = None) -> bool:
+    """Resolve whether Adam is masked off the frozen aligner for this
+    run. An explicit ``--set masked_adam=...`` always wins. Fresh runs
+    (no checkpoint in the workspace) default to MASKED when the aligner
+    is frozen — the moments are provably zero and cost ~75 MB per
+    checkpoint save/fetch otherwise. Resumes must rebuild the optimizer
+    with the STRUCTURE the checkpoint was written with (masked and
+    unmasked opt_states do not cross-restore): the recorded
+    ``settings["masked_adam"]`` header flag decides, with a serialized
+    opt_state sniff (`checkpoint.opt_state_is_masked`) for legacy
+    checkpoints that predate the flag."""
+    if explicit is not None:
+        return bool(explicit)
+    if not frozen:
+        return False
+    from dbsr_tpu.training import checkpoint as ckpt
+
+    path = ckpt.resolve_checkpoint(workspace_dir, net_name)
+    if path is None:
+        return True
+    recorded = ckpt.read_header(path).get("settings", {}).get("masked_adam")
+    if recorded is not None:
+        return bool(recorded)
+    return ckpt.opt_state_is_masked(path)

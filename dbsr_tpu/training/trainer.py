@@ -123,7 +123,8 @@ class Trainer:
                  cast_uint8_inputs: bool = True,
                  divergence_factor: Optional[float] = 1.4,
                  intra_divergence_factor: Optional[float] = 3.0,
-                 async_checkpoint: bool = False):
+                 async_checkpoint: bool = False,
+                 header_settings: Optional[dict] = None):
         """``prepare_fn(key, host_batch) -> batch dict`` maps the host
         loader's output to the training batch on device. Default: on-device
         burst synthesis from RGB crops (``synthesize_batch`` with
@@ -160,6 +161,9 @@ class Trainer:
         self.init_burst_shape = init_burst_shape
         self.workspace_dir = workspace_dir
         self.net_name = net_name
+        # run metadata embedded in every checkpoint header (e.g.
+        # masked_adam, so resumes rebuild a matching opt_state structure)
+        self.header_settings = dict(header_settings or {})
         self.mesh = mesh
         self.print_interval = print_interval
         self.epoch = 0
@@ -403,7 +407,8 @@ class Trainer:
 
         def write():
             ckpt.save_checkpoint(self.workspace_dir, self.net_name, epoch,
-                                 state, net=self.net, stats=stats)
+                                 state, net=self.net, stats=stats,
+                                 settings=self.header_settings)
 
         if self._ckpt_writer is not None:
             self._ckpt_writer.submit(write)

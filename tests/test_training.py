@@ -486,3 +486,53 @@ def test_masked_adam_drops_frozen_moments(tmp_path):
     assert jax.tree_util.tree_all(jax.tree.map(
         lambda a, b: bool(jnp.allclose(a, b)),
         st2.params, restored.params))
+
+
+def test_masked_adam_auto_default(tmp_path):
+    """Fresh frozen-flow runs default to masked Adam; resumes rebuild
+    whatever structure the latest checkpoint was written with — via the
+    recorded header flag, or an opt_state structure sniff for legacy
+    checkpoints that predate it."""
+    from dbsr_tpu.training.state import default_masked_adam
+
+    params = {"encoder": {"alignment_net": {"w": jnp.ones((3,))},
+                          "embed": {"w": jnp.ones((3,))}}}
+
+    def write(dirname, masked, epoch=1, settings=None):
+        tx = make_optimizer(
+            1e-4, 40, 0.2, steps_per_epoch=4,
+            freeze_subtree="alignment_net" if masked else None)
+        st = TrainState.create(params, tx)
+        d = str(tmp_path / dirname)
+        return ckpt.save_checkpoint(d, "dbsr_synthetic", epoch, st,
+                                    settings=settings), d
+
+    # explicit always wins
+    assert default_masked_adam(str(tmp_path / "none"), "dbsr_synthetic",
+                               frozen=True, explicit=False) is False
+    assert default_masked_adam(str(tmp_path / "none"), "dbsr_synthetic",
+                               frozen=False, explicit=True) is True
+    # fresh: masked iff frozen
+    assert default_masked_adam(str(tmp_path / "none"), "dbsr_synthetic",
+                               frozen=True) is True
+    assert default_masked_adam(str(tmp_path / "none"), "dbsr_synthetic",
+                               frozen=False) is False
+
+    # legacy checkpoints (no header flag): structure sniff decides
+    path_u, dir_u = write("legacy_unmasked", masked=False)
+    assert ckpt.opt_state_is_masked(path_u) is False
+    assert default_masked_adam(dir_u, "dbsr_synthetic", frozen=True) is False
+    path_m, dir_m = write("legacy_masked", masked=True)
+    assert ckpt.opt_state_is_masked(path_m) is True
+    assert default_masked_adam(dir_m, "dbsr_synthetic", frozen=True) is True
+
+    # recorded header flag wins without a sniff
+    _, dir_r = write("recorded", masked=False,
+                     settings={"masked_adam": False})
+    assert default_masked_adam(dir_r, "dbsr_synthetic", frozen=True) is False
+
+    # header-only read round-trips the flag cheaply
+    path_r, _ = write("hdr", masked=True, epoch=2,
+                      settings={"masked_adam": True})
+    hdr = ckpt.read_header(path_r)
+    assert hdr["epoch"] == 2 and hdr["settings"]["masked_adam"] is True
