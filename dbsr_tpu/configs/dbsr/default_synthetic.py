@@ -72,8 +72,13 @@ def make_data(settings, cfg, steps_per_epoch: int, val_batches: int = 200,
           "training on procedural dead-leaves source imagery "
           "(dbsr_tpu/data/procedural.py)", flush=True)
     pool_size = getattr(settings, "pool_size", 2048)
+    # --set mix=mixed switches the TRAIN pool to the mixed procedural
+    # corpus (MIXED_RECIPE); the val pool stays dead-leaves so scores
+    # remain comparable across arms.
     train_pool = ProceduralImagePool(pool_size, cfg.pre_crop_sz,
-                                     seed=getattr(settings, "seed", 0))
+                                     seed=getattr(settings, "seed", 0),
+                                     mix=getattr(settings, "mix",
+                                                 "deadleaves"))
     val_pool = ProceduralImagePool(max(pool_size // 8, 1), cfg.pre_crop_sz,
                                    seed=getattr(settings, "seed", 0) + 999)
     loaders = [
@@ -94,17 +99,34 @@ def make_data(settings, cfg, steps_per_epoch: int, val_batches: int = 200,
 
 def find_pretrained_flow(settings):
     """Locate a pretrained flow checkpoint: ``settings.pwc_checkpoint``
-    override, else the latest ``pwcnet/pretrain_synthetic`` checkpoint in
-    the workspace (the reference's analog is the downloaded
-    ``pwcnet-network-default.pth``, ``install.sh:95-99``)."""
+    override, else the latest ``align_lite/pretrain_synthetic``
+    checkpoint (the purpose-built aligner, preferred — see
+    ``models/align_lite.py``), else the latest
+    ``pwcnet/pretrain_synthetic`` checkpoint (the reference's analog is
+    the downloaded ``pwcnet-network-default.pth``, ``install.sh:95-99``)."""
     from dbsr_tpu.training.checkpoint import resolve_checkpoint
 
     explicit = getattr(settings, "pwc_checkpoint", None)
     if explicit:
         return explicit
+    lite_dir = os.path.join(settings.env.workspace_dir, "align_lite",
+                            "pretrain_synthetic")
+    lite = resolve_checkpoint(lite_dir, "align_lite")
+    if lite:
+        return lite
     pwc_dir = os.path.join(settings.env.workspace_dir, "pwcnet",
                            "pretrain_synthetic")
     return resolve_checkpoint(pwc_dir, "pwcnet_synth")
+
+
+def flow_net_kind(flow_ckpt_path: str) -> str:
+    """Which ``DBSRNet.flow_net`` a pretrained flow checkpoint grafts
+    into, from its header's ``net_name`` (``align_lite*`` ->
+    ``'lite'``, anything else -> ``'pwc'``)."""
+    from dbsr_tpu.training.checkpoint import read_header
+
+    name = read_header(flow_ckpt_path).get("net_name", "")
+    return "lite" if name.startswith("align_lite") else "pwc"
 
 
 def graft_alignment_params(params, flow_ckpt_path: str):
@@ -185,13 +207,16 @@ def run(settings):
     train_alignment = getattr(settings, "train_alignment",
                               flow_ckpt is None)
     if flow_ckpt is None:
+        flow_net = getattr(settings, "flow_net", "pwc")
         print("WARNING: no pretrained flow checkpoint found — training "
               "the aligner end-to-end (reference protocol is "
-              "pretrained+frozen; run `python run_training.py pwcnet "
+              "pretrained+frozen; run `python run_training.py align_lite "
               "pretrain_synthetic` first)", flush=True)
     else:
+        flow_net = getattr(settings, "flow_net", flow_net_kind(flow_ckpt))
         print(f"using pretrained flow weights: {flow_ckpt} "
-              f"(train_alignment={train_alignment})", flush=True)
+              f"(flow_net={flow_net}, train_alignment={train_alignment})",
+              flush=True)
 
     net = dbsrnet_cvpr2021(
         enc_init_dim=64, enc_num_res_blocks=9, enc_out_dim=512,
@@ -200,7 +225,7 @@ def run(settings):
         upsample_factor=cfg.downsample_factor * 2,
         offset_feat_dim=64, weight_pred_proj_dim=64,
         num_weight_predictor_res=3, gauss_blur_sd=1.0, icnrinit=True,
-        train_alignment=train_alignment,
+        train_alignment=train_alignment, flow_net=flow_net,
         fused_s2d_decoder=getattr(settings, "fused_s2d_decoder", True),
         dtype=compute_dtype)
 

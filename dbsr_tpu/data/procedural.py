@@ -17,7 +17,14 @@ stays resident in HBM; training steps draw random crops from it with
 ``jnp.take`` — zero host->device feed (which some remote runtimes retain
 for the process lifetime) and zero host CPU cost.
 
-Image model per sample:
+Beyond dead leaves, a MIXED corpus (``mix='mixed'``) blends four more
+generators covering structure the occlusion model lacks — hard
+text/edge primitives, near-Nyquist oriented gratings (the aliasing band
+multi-frame SR must recover), full-band stochastic texture, and smooth
+gradient fields — in the ``MIXED_RECIPE`` proportions, assigned per
+generation chunk so pool refresh cost is unchanged.
+
+Dead-leaves image model per sample:
   1. 4-color random palette + background;
   2. ``num_leaves`` anti-aliased ellipses, centers uniform, radii from the
      r^-3 dead-leaves law, palette colors with jitter and a linear shading
@@ -144,6 +151,158 @@ def dead_leaves_image(key: jax.Array, hw: Tuple[int, int],
     return jnp.clip(img, 0.0, 1.0)
 
 
+def hard_edges_image(key: jax.Array, hw: Tuple[int, int],
+                     num_shapes: int = 120,
+                     sigma_range: Tuple[float, float] = (0.15, 0.7),
+                     ) -> jax.Array:
+    """High-contrast rotated rectangles, bars and thin strokes — text/edge
+    primitives. Same painter's composition as dead leaves but with extreme
+    aspect ratios and a full-contrast palette: step edges at every
+    orientation are exactly the structure 4x SR must hallucinate least."""
+    H, W = hw
+    k_bg, k_shapes, k_blur = jax.random.split(key, 3)
+    bg = jax.random.uniform(k_bg, (3,), jnp.float32, 0.0, 1.0)
+    img = jnp.broadcast_to(bg, (H, W, 3)).astype(jnp.float32)
+
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+
+    def body(i, img):
+        k = jax.random.fold_in(k_shapes, i)
+        u = jax.random.uniform(k, (9,), jnp.float32)
+        cx = u[0] * (W - 1)
+        cy = u[1] * (H - 1)
+        theta = u[2] * math.pi
+        # log-uniform half-extents: strokes (1 px) up to bars (W/6)
+        hx = jnp.exp(jnp.log(1.0) + u[3] * (jnp.log(W / 6.0)))
+        hy = jnp.exp(jnp.log(0.7) + u[4] * (jnp.log(H / 24.0)))
+        color = jax.random.uniform(jax.random.fold_in(k, 1), (3,),
+                                   jnp.float32, 0.0, 1.0)
+        # bias toward full contrast: push channels to the rails half the time
+        rail = (color > 0.5).astype(jnp.float32)
+        color = jnp.where(u[5] < 0.5, rail, color)
+
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        dx = xs - cx
+        dy = ys - cy
+        xr = ct * dx + st * dy
+        yr = -st * dx + ct * dy
+        cover = (jnp.clip(0.5 + (hx - jnp.abs(xr)), 0.0, 1.0)
+                 * jnp.clip(0.5 + (hy - jnp.abs(yr)), 0.0, 1.0))
+        return img * (1.0 - cover[..., None]) + color * cover[..., None]
+
+    img = jax.lax.fori_loop(0, num_shapes, body, img)
+    img = _gaussian_blur_random(k_blur, img, sigma_range)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def gratings_image(key: jax.Array, hw: Tuple[int, int],
+                   num_components: int = 3,
+                   sigma_range: Tuple[float, float] = (0.15, 0.5),
+                   ) -> jax.Array:
+    """Oriented sinusoidal gratings with log-uniform frequencies up to
+    near-Nyquist — the structure that aliases through the x4 downsample +
+    Bayer mosaic, i.e. exactly what multi-frame SR exists to recover."""
+    H, W = hw
+    k_comp, k_dc, k_blur = jax.random.split(key, 3)
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+
+    dc = jax.random.uniform(k_dc, (3,), jnp.float32, 0.25, 0.75)
+    img = jnp.broadcast_to(dc, (H, W, 3)).astype(jnp.float32)
+    for i in range(num_components):
+        k = jax.random.fold_in(k_comp, i)
+        u = jax.random.uniform(k, (6,), jnp.float32)
+        theta = u[0] * math.pi
+        # cycles/px, log-uniform in [1/64, 0.45] (0.5 = Nyquist)
+        freq = jnp.exp(jnp.log(1.0 / 64.0)
+                       + u[1] * (jnp.log(0.45) - jnp.log(1.0 / 64.0)))
+        phase = u[2] * (2.0 * math.pi)
+        amp = 0.08 + 0.22 * u[3]
+        color = jax.random.uniform(jax.random.fold_in(k, 1), (3,),
+                                   jnp.float32, -1.0, 1.0)
+        wave = jnp.sin(2.0 * math.pi * freq
+                       * (jnp.cos(theta) * xs + jnp.sin(theta) * ys)
+                       + phase)
+        # smooth spatial envelope so gratings are local, not global
+        ex = u[4] * (W - 1)
+        ey = u[5] * (H - 1)
+        env = jnp.exp(-(((xs - ex) / (0.45 * W)) ** 2
+                        + ((ys - ey) / (0.45 * H)) ** 2))
+        img = img + amp * (wave * env)[..., None] * color
+    img = _gaussian_blur_random(k_blur, img, sigma_range)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def smooth_gradients_image(key: jax.Array, hw: Tuple[int, int],
+                           ) -> jax.Array:
+    """Very low-frequency content (coarse octave noise + illumination
+    ramp): denoising/low-light fidelity material with no edges to hide
+    behind."""
+    H, W = hw
+    k_noise, k_illum, k_gamma = jax.random.split(key, 3)
+    img = octave_noise(k_noise, hw, bases=(2, 3, 5), decay=0.7)
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    gdir = jax.random.normal(k_illum, (2,))
+    gdir = gdir / jnp.sqrt((gdir * gdir).sum() + 1e-8)
+    ramp = gdir[0] * (xs / W - 0.5) + gdir[1] * (ys / H - 0.5)
+    img = img * (1.0 + 0.4 * ramp[..., None])
+    # random per-channel gamma varies the tonal distribution
+    g = jnp.exp(jax.random.uniform(k_gamma, (3,), jnp.float32, -0.5, 0.5))
+    return jnp.clip(jnp.clip(img, 0.0, 1.0) ** g, 0.0, 1.0)
+
+
+def noise_texture_image(key: jax.Array, hw: Tuple[int, int],
+                        sigma_range: Tuple[float, float] = (0.2, 0.9),
+                        ) -> jax.Array:
+    """Full-band multi-octave texture with random contrast — stochastic
+    micro-texture (foliage/fabric/gravel statistics)."""
+    k_noise, k_con, k_blur = jax.random.split(key, 3)
+    img = octave_noise(k_noise, hw, bases=(7, 14, 28, 56, 112, 224),
+                       decay=0.65)
+    c = jax.random.uniform(k_con, (), jnp.float32, 0.6, 1.6)
+    img = 0.5 + (img - 0.5) * c
+    img = _gaussian_blur_random(k_blur, img, sigma_range)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+# Mixed-corpus recipe: generator -> share of the pool. Dead leaves stays
+# the backbone (occlusion + scale-invariance); the rest add the structure
+# it lacks (straight step edges, aliasing-band gratings, smooth fields,
+# full-band texture). See PERF.md "procedural source A/B" for the
+# measured effect vs dead-leaves-only.
+MIXED_RECIPE = (
+    ("dead_leaves", 0.45),
+    ("edges", 0.20),
+    ("gratings", 0.15),
+    ("noise", 0.10),
+    ("gradients", 0.10),
+)
+
+GENERATORS = {
+    "dead_leaves": dead_leaves_image,
+    "edges": hard_edges_image,
+    "gratings": gratings_image,
+    "noise": noise_texture_image,
+    "gradients": smooth_gradients_image,
+}
+
+
+def _mix_plan(n_chunks: int, seed: int, recipe=MIXED_RECIPE):
+    """Deterministic per-chunk generator assignment matching the recipe
+    proportions (shuffled so pool position carries no type information)."""
+    names = []
+    for name, frac in recipe:
+        names += [name] * max(1, round(frac * n_chunks))
+    names = names[:n_chunks]
+    while len(names) < n_chunks:
+        names.append(recipe[0][0])
+    rng = np.random.RandomState(seed ^ 0x5EED)
+    rng.shuffle(names)
+    return names
+
+
 class ProceduralImagePool:
     """HBM-resident pool of procedural source crops, refreshed on device.
 
@@ -153,19 +312,32 @@ class ProceduralImagePool:
     """
 
     def __init__(self, pool_size: int, hw: Tuple[int, int], seed: int = 0,
-                 chunk: int = 32, **gen_kwargs):
+                 chunk: int = 32, mix: str = "deadleaves", **gen_kwargs):
         self.pool_size = pool_size
         self.hw = tuple(hw)
         self.seed = seed
         self.chunk = chunk
+        self.mix = mix
         self._round = None
         self.pool: Optional[jax.Array] = None
+        self._chunk_fns = {}
 
-        def make_u8(key):
-            img = dead_leaves_image(key, self.hw, **gen_kwargs)
-            return (img * 255.0 + 0.5).astype(jnp.uint8)
+        def make_chunk_fn(gen_name):
+            gen = GENERATORS[gen_name]
+            kw = gen_kwargs if gen_name == "dead_leaves" else {}
 
-        self._make_chunk = jax.jit(jax.vmap(make_u8))
+            def make_u8(key):
+                img = gen(key, self.hw, **kw)
+                return (img * 255.0 + 0.5).astype(jnp.uint8)
+
+            return jax.jit(jax.vmap(make_u8))
+
+        self._make_chunk_fn = make_chunk_fn
+
+    def _chunk_fn(self, gen_name: str):
+        if gen_name not in self._chunk_fns:
+            self._chunk_fns[gen_name] = self._make_chunk_fn(gen_name)
+        return self._chunk_fns[gen_name]
 
     def fold_in_process(self, process_index: int) -> None:
         """Decorrelate pools across multi-host processes (same contract as
@@ -179,12 +351,17 @@ class ProceduralImagePool:
         if self._round == round_idx and self.pool is not None:
             return self.pool
         base = jax.random.fold_in(jax.random.key(self.seed), round_idx)
+        starts = list(range(0, self.pool_size, self.chunk))
+        if self.mix == "mixed":
+            plan = _mix_plan(len(starts), self.seed + round_idx)
+        else:
+            plan = ["dead_leaves"] * len(starts)
         chunks = []
-        for lo in range(0, self.pool_size, self.chunk):
+        for lo, gen_name in zip(starts, plan):
             n = min(self.chunk, self.pool_size - lo)
             keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
                 jnp.arange(lo, lo + n))
-            chunks.append(self._make_chunk(keys))
+            chunks.append(self._chunk_fn(gen_name)(keys))
         self.pool = chunks[0] if len(chunks) == 1 else jnp.concatenate(
             chunks, axis=0)
         self._round = round_idx

@@ -79,8 +79,10 @@ class AlignedEncoder(nn.Module):
     ``oth_feat`` (flow-warped), and ``offsets`` ``[B, N-1, h, w, 2]``.
     When ``train_alignment`` is False the flow is computed under
     ``stop_gradient`` (the reference wraps the aligner in no_grad + eval,
-    ``encoders.py:56-61``). ``flow_net='conv'`` swaps PWC-Net for the
-    ``ConvFlow`` stub (tests/ablations only).
+    ``encoders.py:56-61``). ``flow_net`` selects the aligner:
+    ``'pwc'`` (reference parity), ``'lite'`` (``models.align_lite`` —
+    the trainable-here aligner, see its module docstring), ``'conv'``
+    (``ConvFlow`` stub, tests/ablations only).
     """
     init_dim: int = 64
     num_res_blocks: int = 9
@@ -100,7 +102,13 @@ class AlignedEncoder(nn.Module):
         ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
         oth = rgb[:, 1:]
 
-        flow_cls = PWCNet if self.flow_net == "pwc" else ConvFlow
+        if self.flow_net == "pwc":
+            flow_cls = PWCNet
+        elif self.flow_net == "lite":
+            from dbsr_tpu.models.align_lite import AlignLiteNet
+            flow_cls = AlignLiteNet
+        else:
+            flow_cls = ConvFlow
         flow = flow_cls(name="alignment_net", dtype=self.dtype)(
             _flatten_frames(oth), _flatten_frames(ref))
         if not self.train_alignment:
@@ -304,7 +312,7 @@ class DBSRNet(nn.Module):
     train_alignment: bool = False
     dtype: Any = None  # compute dtype; None = promote (f32 params -> f32)
     fused_s2d_decoder: bool = False
-    flow_net: str = "pwc"  # 'conv' = ConvFlow stub (tests/ablations)
+    flow_net: str = "pwc"  # 'lite' = AlignLiteNet; 'conv' = test stub
 
     @nn.compact
     def __call__(self, burst):

@@ -110,6 +110,52 @@ def make_flow_actor(net, eps: float = 1e-3,
     return actor
 
 
+# AlignLite multi-scale weights: every level has its own correlation
+# (direct gradient signal), so fine-first emphasis is safe — unlike PWC,
+# where the coarse decoders must be weighted up (_PWC_LEVEL_WEIGHTS).
+_LITE_LEVEL_WEIGHTS = {0: 1.0, 1: 0.5, 2: 0.25}
+
+
+def make_lite_flow_actor(net, eps: float = 1e-3,
+                         multiscale: bool = True) -> Callable:
+    """EPE supervision of ``models.align_lite.BurstAlignLite`` on the
+    synthesis pipeline's exact dense flow labels.
+
+    Same target convention as ``make_flow_actor`` (the NEGATED synthesis
+    flow pooled to the packed grid); units are simpler: every AlignLite
+    pyramid level predicts flow in its own grid's px, so the level-l
+    target is just ``pack_flow_to`` of the packed-grid target."""
+
+    def actor(params, batch) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        if multiscale:
+            pred, aux = net.apply(params, batch["burst"],
+                                  return_pyramid=True)
+        else:
+            pred = net.apply(params, batch["burst"])  # [B, N-1, h, w, 2]
+        h, w = pred.shape[2:4]
+        gt = pack_flow_to(-batch["flow"][:, 1:], (h, w))
+        d = pred.astype(jnp.float32) - gt
+        epe = jnp.sqrt((d * d).sum(-1) + eps * eps)
+
+        if multiscale:
+            loss = jnp.float32(0.0)
+            for lvl, f in aux["pyramid"].items():
+                lh, lw = f.shape[-3], f.shape[-2]
+                # pyramid flows carry a flattened [B*(N-1)] lead dim
+                tgt = pack_flow_to(gt, (lh, lw)).reshape(-1, lh, lw, 2)
+                fd = f.astype(jnp.float32).reshape(-1, lh, lw, 2) - tgt
+                l_epe = jnp.sqrt((fd * fd).sum(-1) + eps * eps).mean()
+                loss = loss + _LITE_LEVEL_WEIGHTS[lvl] * l_epe
+        else:
+            loss = epe.mean()
+
+        stats = {"Loss/total": loss, "Stat/epe": epe.mean(),
+                 "Stat/acc_0.5px": (epe < 0.5).mean()}
+        return loss, stats
+
+    return actor
+
+
 def make_realworld_actor(net, sca_apply: Callable, loss_weight: float = 10.0,
                          boundary_ignore: Optional[int] = None,
                          metric: str = "l1") -> Callable:

@@ -97,11 +97,27 @@ def default_masked_adam(workspace_dir: str, net_name: str, frozen: bool,
     checkpoints that predate the flag."""
     if explicit is not None:
         return bool(explicit)
-    if not frozen:
-        return False
     from dbsr_tpu.training import checkpoint as ckpt
 
     path = ckpt.resolve_checkpoint(workspace_dir, net_name)
+    if not frozen:
+        # masked opt_states do not cross-restore into plain Adam: fail
+        # HERE with the actual constraint instead of letting flax
+        # from_bytes raise an opaque structure mismatch later
+        if path is not None:
+            recorded = ckpt.read_header(path).get("settings",
+                                                  {}).get("masked_adam")
+            was_masked = recorded if recorded is not None \
+                else ckpt.opt_state_is_masked(path)
+            if was_masked:
+                raise ValueError(
+                    f"{path} was written with a MASKED (frozen-aligner) "
+                    "optimizer, but this run asks for a trainable "
+                    "aligner (train_alignment=True): masked and unmasked "
+                    "opt_states cannot cross-restore. Either keep the "
+                    "aligner frozen, or start a fresh workspace for the "
+                    "end-to-end run.")
+        return False
     if path is None:
         return True
     recorded = ckpt.read_header(path).get("settings", {}).get("masked_adam")

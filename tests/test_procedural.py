@@ -119,3 +119,40 @@ def test_trainer_runs_on_pool(tmp_path):
     assert int(state.step) == 2
     avgs = trainer.stats["train"].averages()
     assert np.isfinite(avgs["Loss/total"])
+
+
+def test_generator_family_valid_images():
+    """Every mixed-corpus generator yields [H, W, 3] float32 in [0, 1]
+    with non-degenerate content, deterministic in the key."""
+    from dbsr_tpu.data.procedural import GENERATORS
+
+    for name, gen in GENERATORS.items():
+        a = np.asarray(gen(jax.random.key(3), HW))
+        b = np.asarray(gen(jax.random.key(3), HW))
+        assert a.shape == HW + (3,), name
+        assert a.dtype == np.float32, name
+        assert a.min() >= 0.0 and a.max() <= 1.0, name
+        assert a.std() > 0.01, (name, a.std())
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mix_plan_proportions_and_determinism():
+    from dbsr_tpu.data.procedural import MIXED_RECIPE, _mix_plan
+
+    plan = _mix_plan(64, seed=5)
+    assert len(plan) == 64
+    counts = {n: plan.count(n) for n, _ in MIXED_RECIPE}
+    for name, frac in MIXED_RECIPE:
+        assert abs(counts[name] - frac * 64) <= 2, (name, counts)
+    assert plan == _mix_plan(64, seed=5)
+    assert plan != _mix_plan(64, seed=6)
+
+
+def test_mixed_pool_refresh():
+    pool = ProceduralImagePool(8, HW, seed=1, chunk=2, mix="mixed")
+    arr = pool.refresh(0)
+    assert arr.shape == (8,) + HW + (3,)
+    assert arr.dtype == jnp.uint8
+    # mixed pool differs from the dead-leaves-only pool of the same seed
+    dl = ProceduralImagePool(8, HW, seed=1, chunk=2)
+    assert not np.array_equal(np.asarray(arr), np.asarray(dl.refresh(0)))

@@ -28,10 +28,17 @@ def _row(epoch, psnr):
     return json.dumps({"epoch": epoch, "psnr": psnr, "ssim": 0.9}) + "\n"
 
 
-def test_last_row_picks_best_psnr():
+def test_best_row_picks_best_psnr():
     text = _row(5, 30.0) + "garbage\n" + _row(10, 32.5) + _row(15, 31.9)
-    assert sc.last_row(text) == (10, 32.5)
-    assert sc.last_row("") is None
+    assert sc.best_row(text) == (10, 32.5)
+    assert sc.best_row("") is None
+
+
+def test_best_row_last_occurrence_wins_per_epoch():
+    # a restarted campaign re-appends epoch 10 with a lower score: the
+    # re-scored value must win, matching export_best_dbsr.best_epoch
+    text = _row(10, 35.0) + _row(15, 31.9) + _row(10, 30.0)
+    assert sc.best_row(text) == (15, 31.9)
 
 
 def test_snapshot_trajectory_change_detection(tmp_path):
@@ -80,7 +87,8 @@ def test_git_commit_scoped_to_paths(git_repo):
     other.write_text("uncommitted work\n")
     subprocess.run(["git", "-C", str(git_repo), "add", "wip.txt"],
                    check=True)
-    assert sc.git_commit([str(snap)], "Snapshot traj", cwd=str(git_repo))
+    assert sc.git_commit([str(snap)], "Snapshot traj",
+                         cwd=str(git_repo)) == "committed"
     show = subprocess.run(
         ["git", "-C", str(git_repo), "show", "--stat", "--name-only",
          "HEAD"], capture_output=True, text=True).stdout
@@ -94,8 +102,10 @@ def test_git_commit_scoped_to_paths(git_repo):
 def test_git_commit_nothing_to_commit(git_repo):
     snap = git_repo / "traj.jsonl"
     snap.write_text("x\n")
-    assert sc.git_commit([str(snap)], "first", cwd=str(git_repo))
-    assert not sc.git_commit([str(snap)], "second", cwd=str(git_repo))
+    assert sc.git_commit([str(snap)], "first",
+                         cwd=str(git_repo)) == "committed"
+    assert sc.git_commit([str(snap)], "second",
+                         cwd=str(git_repo)) == "clean"
     assert _git_log(git_repo).count("\n") == 2  # base + first only
 
 
@@ -108,7 +118,7 @@ def test_snapshot_step_state_machine(tmp_path, monkeypatch):
 
     def commit(paths, msg):
         commits.append(msg)
-        return True
+        return "committed"
 
     # 1. rows but incomplete: trajectory commit only, no export
     (ws / "campaign_trajectory.jsonl").write_text(_row(5, 30.12))
@@ -152,9 +162,33 @@ def test_snapshot_step_export_failure_retried(tmp_path, monkeypatch):
         raise FileNotFoundError("checkpoint missing")
 
     done = sc.snapshot_step(str(ws), "rX", False,
-                            commit=lambda p, m: True, export=bad_export,
+                            commit=lambda p, m: "committed",
+                            export=bad_export,
                             complete=lambda w: True)
     assert done is False  # stays un-exported => retried next poll
+
+
+def test_snapshot_step_commit_failure_not_exported(tmp_path, monkeypatch):
+    """A failed params commit (e.g. index.lock contention outlasting the
+    retry budget) must NOT mark the campaign exported — the ~40 MB blob
+    would live only in the working tree, still inside the VM-reset loss
+    window (ADVICE r3)."""
+    ws = tmp_path / "ws"
+    ws.mkdir()
+    monkeypatch.setattr(sc, "REPO", str(tmp_path / "repo"))
+    (ws / "campaign_trajectory.jsonl").write_text(_row(100, 33.0))
+
+    statuses = iter(["committed", "failed", "committed", "committed"])
+    done = sc.snapshot_step(str(ws), "rX", False,
+                            commit=lambda p, m: next(statuses),
+                            export=lambda: None,
+                            complete=lambda w: True)
+    assert done is False  # commit failed => retry next poll
+    done = sc.snapshot_step(str(ws), "rX", False,
+                            commit=lambda p, m: next(statuses),
+                            export=lambda: None,
+                            complete=lambda w: True)
+    assert done is True
 
 
 def test_session_queue_launch_snapshot_guard(tmp_path):
@@ -166,11 +200,21 @@ def test_session_queue_launch_snapshot_guard(tmp_path):
                             alive=lambda p: False)
     assert len(launches) == 1
     argv, pidfile = launches[0]
-    assert pf == pidfile and pidfile.endswith("snapshot_wsA.pid")
+    assert pf == pidfile and "snapshot_wsA_" in pidfile
+    assert pidfile.endswith(".pid")
+    # same basename, different path => different pidfile (no dedup)
+    pf2 = sq.launch_snapshot(str(tmp_path / "other" / "wsA"),
+                             launch=lambda argv, out, pidfile:
+                             launches.append((argv, pidfile)),
+                             alive=lambda p: False)
+    assert pf2 != pf and len(launches) == 2
+    # the daemon gets the ABSOLUTE workspace path (cwd=REPO child)
+    argv2 = launches[1][0]
+    assert os.path.isabs(argv2[argv2.index("--workspace") + 1])
     assert "snapshot_campaign.py" in argv[1]
     assert argv[argv.index("--label") + 1] == "wsA"
     # alive pidfile => no duplicate daemon
     sq.launch_snapshot(str(tmp_path / "wsA"),
                        launch=lambda *a: launches.append(a),
                        alive=lambda p: True)
-    assert len(launches) == 1
+    assert len(launches) == 2

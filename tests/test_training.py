@@ -536,3 +536,26 @@ def test_masked_adam_auto_default(tmp_path):
                       settings={"masked_adam": True})
     hdr = ckpt.read_header(path_r)
     assert hdr["epoch"] == 2 and hdr["settings"]["masked_adam"] is True
+
+
+def test_masked_adam_cross_restore_diagnostic(tmp_path):
+    """Resuming a masked-checkpoint workspace with a TRAINABLE aligner
+    must fail with a clear diagnostic up front, not an opaque flax
+    structure mismatch at restore time (ADVICE r3)."""
+    import pytest
+
+    from dbsr_tpu.training.state import default_masked_adam
+
+    params = {"encoder": {"alignment_net": {"w": jnp.ones((3,))},
+                          "embed": {"w": jnp.ones((3,))}}}
+    tx = make_optimizer(1e-4, 40, 0.2, steps_per_epoch=4,
+                        freeze_subtree="alignment_net")
+    st = TrainState.create(params, tx)
+    d = str(tmp_path / "ws")
+    ckpt.save_checkpoint(d, "dbsr_synthetic", 1, st,
+                         settings={"masked_adam": True})
+    with pytest.raises(ValueError, match="cross-restore"):
+        default_masked_adam(d, "dbsr_synthetic", frozen=False)
+    # explicit override still wins (the caller takes responsibility)
+    assert default_masked_adam(d, "dbsr_synthetic", frozen=False,
+                               explicit=False) is False

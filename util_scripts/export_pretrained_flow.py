@@ -17,7 +17,7 @@ refuse to RESUME from it — it is graft material, not a resume point).
 Usage:
     python util_scripts/export_pretrained_flow.py \
         --workspace /root/dbsr_campaign_r3 \
-        [--out dbsr_tpu/artifacts/pwcnet_synth_params.ckpt]
+        [--aligner pwc|lite] [--out dbsr_tpu/artifacts/<name>.ckpt]
 """
 
 import argparse
@@ -28,23 +28,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main():
+# aligner kind -> (workspace subdir, net_name, default artifact name)
+ALIGNERS = {
+    "pwc": (os.path.join("pwcnet", "pretrain_synthetic"),
+            "pwcnet_synth", "pwcnet_synth_params.ckpt"),
+    "lite": (os.path.join("align_lite", "pretrain_synthetic"),
+             "align_lite", "align_lite_params.ckpt"),
+}
+
+
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--workspace", required=True)
-    ap.add_argument("--out", default=os.path.join(
-        REPO, "dbsr_tpu", "artifacts", "pwcnet_synth_params.ckpt"))
-    args = ap.parse_args()
+    ap.add_argument("--aligner", choices=sorted(ALIGNERS), default="pwc")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
 
     from dbsr_tpu.training.checkpoint import (load_checkpoint,
                                               resolve_checkpoint,
                                               save_params_artifact)
 
-    src_dir = os.path.join(args.workspace, "pwcnet", "pretrain_synthetic")
-    path = resolve_checkpoint(src_dir, "pwcnet_synth")
+    subdir, net_name, artifact = ALIGNERS[args.aligner]
+    out_path = args.out or os.path.join(REPO, "dbsr_tpu", "artifacts",
+                                        artifact)
+    src_dir = os.path.join(args.workspace, subdir)
+    path = resolve_checkpoint(src_dir, net_name)
     if path is None:
-        raise SystemExit(f"no pwcnet_synth checkpoint in {src_dir}")
+        raise SystemExit(f"no {net_name} checkpoint in {src_dir}")
     header, raw = load_checkpoint(path)
-    out = save_params_artifact(args.out, header, {"params": raw["params"]})
+    out = save_params_artifact(out_path, header, {"params": raw["params"]})
     print(f"exported {path} (epoch {header['epoch']}) -> {out} "
           f"({os.path.getsize(out) / 1e6:.1f} MB)")
 

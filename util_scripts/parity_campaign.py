@@ -223,14 +223,25 @@ class EvalWorkerClient:
             self.kill()
 
 
-def seed_pretrained_flow(ws: str, artifact: str, pwc_epochs: int) -> str:
+# aligner kind -> (config module, workspace subdir, net_name, artifact)
+ALIGNERS = {
+    "pwc": ("pwcnet", os.path.join("pwcnet", "pretrain_synthetic"),
+            "pwcnet_synth", "pwcnet_synth_params.ckpt"),
+    "lite": ("align_lite", os.path.join("align_lite", "pretrain_synthetic"),
+             "align_lite", "align_lite_params.ckpt"),
+}
+
+
+def seed_pretrained_flow(ws: str, artifact: str, pwc_epochs: int,
+                         subdir: str = "pwcnet/pretrain_synthetic",
+                         net_name: str = "pwcnet_synth") -> str:
     """Seed a wiped workspace's pretrain directory from the repo-baked
     params-only artifact (reset recovery). Only seeds when the workspace
     has NO pretrain checkpoint and the artifact's epoch meets the target
     (a short artifact would make the driver try to RESUME training from
     params-only graft material, which trainers refuse). Returns the
     seeded path or ''."""
-    if latest_epoch(ws, "pwcnet/pretrain_synthetic", "pwcnet_synth") > 0 \
+    if latest_epoch(ws, subdir, net_name) > 0 \
             or not os.path.exists(artifact):
         return ""
     sys.path.insert(0, REPO)
@@ -239,9 +250,9 @@ def seed_pretrained_flow(ws: str, artifact: str, pwc_epochs: int) -> str:
     if epoch < pwc_epochs:
         return ""
     import shutil
-    pwc_dir = os.path.join(ws, "pwcnet", "pretrain_synthetic")
+    pwc_dir = os.path.join(ws, subdir)
     os.makedirs(pwc_dir, exist_ok=True)
-    dst = os.path.join(pwc_dir, f"pwcnet_synth_ep{epoch:04d}.ckpt")
+    dst = os.path.join(pwc_dir, f"{net_name}_ep{epoch:04d}.ckpt")
     shutil.copyfile(artifact, dst)
     return dst
 
@@ -259,7 +270,21 @@ def main():
                          "val-set staging + compile retrieval ONCE per "
                          "batch instead of per checkpoint)")
     ap.add_argument("--val_bursts", type=int, default=300)
+    ap.add_argument("--aligner", choices=sorted(ALIGNERS), default="lite",
+                    help="pretrained aligner kind: 'lite' (AlignLite — "
+                         "reaches sub-pixel EPE on this regime; default) "
+                         "or 'pwc' (reference architecture; converges to "
+                         "the zero-flow baseline when trained here)")
     ap.add_argument("--pwc_epochs", type=int, default=15)
+    ap.add_argument("--no_resident", action="store_true",
+                    help="disable resident training (fall back to one "
+                         "subprocess per --chunk epochs; resident mode "
+                         "amortizes the ~380 s per-chunk startup into "
+                         "ONE process and fires evals concurrently as "
+                         "checkpoints land)")
+    ap.add_argument("--stall_timeout", type=int, default=1800,
+                    help="resident mode: relaunch the trainer if no new "
+                         "checkpoint lands within this many seconds")
     ap.add_argument("--chunk_timeout", type=int, default=7200)
     ap.add_argument("--eval_timeout", type=int, default=3600)
     ap.add_argument("--max_retries", type=int, default=3,
@@ -308,28 +333,29 @@ def main():
         raise RuntimeError(f"{what} failed {args.max_retries} times; "
                            f"see {log_path}")
 
-    # ---- 1. PWC pretraining (idempotent: resumes / no-ops when done) ----
+    # ---- 1. aligner pretraining (idempotent: resumes / no-ops when done)
     # A wiped workspace (VM reset) is reseeded from the repo-baked
     # params-only artifact when one exists at the target epoch count —
-    # skips the ~30 min pretrain stage and keeps the protocol identical.
-    artifact = os.path.join(REPO, "dbsr_tpu", "artifacts",
-                            "pwcnet_synth_params.ckpt")
-    seeded = seed_pretrained_flow(ws, artifact, args.pwc_epochs)
+    # skips the pretrain stage and keeps the protocol identical.
+    module, subdir, net_name, artifact_name = ALIGNERS[args.aligner]
+    artifact = os.path.join(REPO, "dbsr_tpu", "artifacts", artifact_name)
+    seeded = seed_pretrained_flow(ws, artifact, args.pwc_epochs,
+                                  subdir=subdir, net_name=net_name)
     if seeded:
         print(f"seeded pretrained flow from repo artifact ({seeded})",
               flush=True)
-    if latest_epoch(ws, "pwcnet/pretrain_synthetic",
-                    "pwcnet_synth") < args.pwc_epochs:
+    if latest_epoch(ws, subdir, net_name) < args.pwc_epochs:
         run_with_retries(
-            [py, "run_training.py", "pwcnet", "pretrain_synthetic",
+            [py, "run_training.py", module, "pretrain_synthetic",
              "--set", f"epochs={args.pwc_epochs}"],
-            args.chunk_timeout, "pwc pretrain")
+            args.chunk_timeout, "aligner pretrain")
         rc = sh([py, "util_scripts/export_pretrained_flow.py",
-                 "--workspace", ws], 600, env, log_path)
+                 "--workspace", ws, "--aligner", args.aligner],
+                600, env, log_path)
         print(f"pretrained-flow artifact export rc={rc} "
               "(commit dbsr_tpu/artifacts/ to make it reset-proof)",
               flush=True)
-    print("PWC pretrain done", flush=True)
+    print(f"aligner pretrain done ({args.aligner})", flush=True)
 
     # ---- 2. frozen procedural val set (strict kernel) ----
     if not os.path.exists(os.path.join(
@@ -388,18 +414,81 @@ def main():
                 f.write(json.dumps(row) + "\n")
             print(f"trajectory: {row}", flush=True)
 
-    # ---- 3. chunked training + batched periodic eval ----
-    while True:
-        done = latest_epoch(ws, "dbsr/default_synthetic", "dbsr_synthetic")
-        if done >= args.epochs:
-            break
-        target = min(done + args.chunk, args.epochs)
-        run_with_retries(train_argv(py, target, args.train_set),
-                         args.chunk_timeout, f"train to {target}")
-        now = latest_epoch(ws, "dbsr/default_synthetic", "dbsr_synthetic")
-        pend = pending_evals(now)
-        if len(pend) >= args.eval_batch or now >= args.epochs:
-            eval_epochs(pend)
+    # ---- 3. training + batched periodic eval ----
+    if args.no_resident:
+        # one subprocess per --chunk epochs (each pays ~380 s of process
+        # startup + compile retrieval); evals between chunks
+        while True:
+            done = latest_epoch(ws, "dbsr/default_synthetic",
+                                "dbsr_synthetic")
+            if done >= args.epochs:
+                break
+            target = min(done + args.chunk, args.epochs)
+            run_with_retries(train_argv(py, target, args.train_set),
+                             args.chunk_timeout, f"train to {target}")
+            now = latest_epoch(ws, "dbsr/default_synthetic",
+                               "dbsr_synthetic")
+            pend = pending_evals(now)
+            if len(pend) >= args.eval_batch or now >= args.epochs:
+                eval_epochs(pend)
+    else:
+        # RESIDENT training: ONE subprocess driven to the final epoch —
+        # the compiled step, staged pools and process state stay
+        # resident across the whole campaign (the per-chunk ~380 s
+        # startup tax becomes a one-time cost). The driver monitors
+        # checkpoint files for progress; a stall (no new checkpoint in
+        # --stall_timeout) or a crash kills/loses the process and a
+        # relaunch resumes from the latest checkpoint. Evals fire
+        # CONCURRENTLY as checkpoints land (the eval worker is its own
+        # process; chip residency coexists — proven by round 3's
+        # campaign, where the worker stayed resident across chunks).
+        from dbsr_tpu.utils.backend_probe import wait_for_backend
+        attempts_left = args.max_retries
+        while latest_epoch(ws, "dbsr/default_synthetic",
+                           "dbsr_synthetic") < args.epochs:
+            wait_for_backend(log=lambda m: print(f"train: {m}", flush=True))
+            argv = train_argv(py, args.epochs, args.train_set)
+            print(f"+ {' '.join(argv)} (resident)", flush=True)
+            log = open(log_path, "a")
+            log.write(f"\n===== {time.strftime('%F %T')} {' '.join(argv)} "
+                      "(resident)\n")
+            log.flush()
+            proc = subprocess.Popen(argv, cwd=REPO, env=env, stdout=log,
+                                    stderr=subprocess.STDOUT)
+            last = latest_epoch(ws, "dbsr/default_synthetic",
+                                "dbsr_synthetic")
+            t_progress = time.time()
+            stalled = False
+            while proc.poll() is None:
+                time.sleep(20)
+                now = latest_epoch(ws, "dbsr/default_synthetic",
+                                   "dbsr_synthetic")
+                if now > last:
+                    last, t_progress = now, time.time()
+                    attempts_left = args.max_retries  # progress resets
+                    pend = pending_evals(now)
+                    if len(pend) >= args.eval_batch:
+                        eval_epochs(pend)  # concurrent with training
+                elif time.time() - t_progress > args.stall_timeout:
+                    print(f"trainer stalled (no checkpoint past epoch "
+                          f"{last} in {args.stall_timeout}s); relaunching",
+                          flush=True)
+                    proc.kill()
+                    proc.wait()
+                    stalled = True
+                    break
+            log.close()
+            if not stalled and proc.returncode not in (0, None) and \
+                    latest_epoch(ws, "dbsr/default_synthetic",
+                                 "dbsr_synthetic") <= last:
+                attempts_left -= 1
+                print(f"trainer exited rc={proc.returncode} without "
+                      f"progress ({attempts_left} attempts left)",
+                      flush=True)
+                if attempts_left <= 0:
+                    raise RuntimeError(
+                        f"resident training failed repeatedly; "
+                        f"see {log_path}")
 
     eval_epochs(pending_evals(args.epochs))
     if worker is not None:

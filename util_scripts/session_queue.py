@@ -94,8 +94,14 @@ def launch_snapshot(ws: str, launch=None, alive=None) -> str:
     campaign trajectory into dbsr_tpu/artifacts/campaigns/ as rows land
     and the best params-only checkpoint on completion — VM resets wiped
     two rounds of campaign results that lived only in the workspace."""
+    import hashlib
+
+    ws = os.path.abspath(ws)  # the daemon runs with cwd=REPO
     label = os.path.basename(os.path.normpath(ws))
-    pidfile = f"/tmp/snapshot_{label}.pid"
+    # hash of the full path: two workspaces sharing a basename must not
+    # deduplicate onto one daemon via the pidfile
+    digest = hashlib.sha1(ws.encode()).hexdigest()[:8]
+    pidfile = f"/tmp/snapshot_{label}_{digest}.pid"
     if (alive or cq.alive)(pidfile):
         return pidfile
     (launch or cq.launch)(

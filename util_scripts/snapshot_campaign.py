@@ -58,18 +58,23 @@ def read_file(path: str):
         return None
 
 
-def last_row(traj_text: str):
-    """(epoch, psnr) of the best scored row, or None."""
-    best = None
+def best_row(traj_text: str):
+    """(epoch, psnr) of the best scored epoch, or None. Same dedup
+    semantics as ``export_best_dbsr.best_epoch`` (last occurrence wins
+    per epoch — restarted campaigns re-append early epochs), so the
+    commit-message tag always matches what the exporter ships."""
+    rows = {}
     for line in traj_text.splitlines():
         try:
             r = json.loads(line)
         except ValueError:
             continue
-        if "epoch" in r and "psnr" in r and (
-                best is None or r["psnr"] > best[1]):
-            best = (r["epoch"], r["psnr"])
-    return best
+        if "epoch" in r and "psnr" in r:
+            rows[r["epoch"]] = r["psnr"]
+    if not rows:
+        return None
+    e = max(rows, key=lambda k: rows[k])
+    return e, rows[e]
 
 
 def snapshot_trajectory(ws: str, dest: str):
@@ -87,11 +92,14 @@ def snapshot_trajectory(ws: str, dest: str):
 
 
 def git_commit(paths, msg, cwd=REPO, run=subprocess.run, retries=6,
-               sleep=time.sleep) -> bool:
+               sleep=time.sleep) -> str:
     """``git add`` + pathspec-scoped commit of exactly ``paths``;
     retried on index-lock contention with a concurrent session. Returns
-    True when a commit was created (False: nothing to commit / gave
-    up)."""
+    ``'committed'`` (a commit was created), ``'clean'`` (nothing to
+    commit — the content is already in git), or ``'failed'`` (the
+    content is NOT in git; callers must retry later — treating this as
+    success would leave the artifact inside the VM-reset loss window
+    this daemon exists to close)."""
     rel = [os.path.relpath(p, cwd) for p in paths]
     for attempt in range(retries):
         add = run(["git", "add", "--"] + rel, cwd=cwd,
@@ -99,17 +107,17 @@ def git_commit(paths, msg, cwd=REPO, run=subprocess.run, retries=6,
         com = run(["git", "commit", "-m", msg, "--"] + rel, cwd=cwd,
                   capture_output=True, text=True)
         if add.returncode == 0 and com.returncode == 0:
-            return True
+            return "committed"
         blob = add.stderr + com.stderr + com.stdout
         if "nothing to commit" in blob or "no changes added" in blob:
-            return False
+            return "clean"
         if "index.lock" in blob and attempt < retries - 1:
             sleep(5)
             continue
         print(f"snapshot commit failed (rc={com.returncode}): "
               f"{blob.strip()[:400]}", flush=True)
-        return False
-    return False
+        return "failed"
+    return "failed"
 
 
 def snapshot_step(ws: str, label: str, exported: bool,
@@ -121,7 +129,7 @@ def snapshot_step(ws: str, label: str, exported: bool,
     traj_dest = os.path.join(REPO, ART_DIR, f"{label}_trajectory.jsonl")
     text = snapshot_trajectory(ws, traj_dest)
     if text is not None:
-        best = last_row(text)
+        best = best_row(text)
         tag = (f"epoch {best[0]}, best {best[1]:.2f} dB"
                if best else "no scored rows yet")
         commit([traj_dest],
@@ -138,12 +146,16 @@ def snapshot_step(ws: str, label: str, exported: bool,
     except Exception as e:  # traj present but no checkpoint: retry later
         print(f"best-params export failed ({e}); will retry", flush=True)
         return False
-    best = last_row(read_file(traj_dest) or "")
+    best = best_row(read_file(traj_dest) or "")
     tag = f"epoch {best[0]}, {best[1]:.2f} dB" if best else "untracked best"
-    commit([ckpt, os.path.join(REPO, ART_DIR,
-                               f"{label}_trajectory.jsonl")],
-           f"Snapshot campaign {label} best checkpoint ({tag})")
-    return True
+    # exported=True only once the params blob is actually IN git
+    # ('committed', or 'clean' on a re-run after a prior commit landed);
+    # on 'failed' (e.g. index.lock contention outlasting the retry
+    # budget) keep polling and retry the commit next round.
+    status = commit([ckpt, os.path.join(REPO, ART_DIR,
+                                        f"{label}_trajectory.jsonl")],
+                    f"Snapshot campaign {label} best checkpoint ({tag})")
+    return status in ("committed", "clean")
 
 
 def main(argv=None):
