@@ -230,3 +230,20 @@ def test_trajectory_matches_per_epoch_scores(val_root, tmp_path):
     # the two differently-initialized epochs must not score identically
     assert traj["psnr"]["dbsr_traj_cfg_ep0001"] != \
         traj["psnr"]["dbsr_traj_cfg_ep0002"]
+
+
+def test_dbsr_zoo_experiment_resolves():
+    """The model-zoo eval spec enumerates the committed campaign
+    artifacts and each one rebuilds its network from the embedded
+    net_spec (fresh-clone zero-training scoring path)."""
+    from dbsr_tpu.evaluation.experiments.dbsr_zoo import main
+    from dbsr_tpu.training.checkpoint import load_network
+
+    nets = main()
+    assert nets, "no zoo artifacts"
+    for n in nets:
+        assert os.path.exists(n.checkpoint_path), n.checkpoint_path
+        net, params, header = load_network(n.checkpoint_path)
+        assert header.get("params_only") is True
+        assert "encoder" in params["params"]
+        assert n.get_display_name().startswith("dbsr_campaign")
