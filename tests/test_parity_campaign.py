@@ -177,3 +177,106 @@ def test_export_best_dbsr_picks_max_psnr(tmp_path):
         empty = tmp_path / "empty.jsonl"
         empty.write_text("")
         eb.best_epoch(str(empty))
+
+
+def test_resident_training_monitors_and_retries(tmp_path, capsys):
+    """resident_training: completes when the trainer reaches the target,
+    fires eval batches on checkpoint progress, relaunches a stalled or
+    crashed trainer, and only burns retry budget on zero-progress
+    exits."""
+    ws = str(tmp_path)
+    ckpt_dir = os.path.join(ws, "dbsr", "default_synthetic")
+    os.makedirs(ckpt_dir)
+    log_path = os.path.join(ws, "log.txt")
+
+    def write_ckpt(epoch):
+        open(os.path.join(ckpt_dir,
+                          f"dbsr_synthetic_ep{epoch:04d}.ckpt"), "w").close()
+
+    class FakeProc:
+        """Writes one checkpoint per poll tick up to `until`, then
+        exits with `rc` (None while alive)."""
+
+        def __init__(self, schedule, rc=0):
+            self.schedule = list(schedule)
+            self.rc = rc
+            self.returncode = None
+            self.killed = False
+
+        def poll(self):
+            if self.killed:
+                self.returncode = -9
+                return -9
+            if self.schedule:
+                e = self.schedule.pop(0)
+                if e is not None:
+                    write_ckpt(e)
+                return None
+            self.returncode = self.rc
+            return self.rc
+
+        def kill(self):
+            self.killed = True
+
+        def wait(self):
+            return self.rc
+
+    evals = []
+    launches = []
+
+    # launch 1: epochs 1,2 then crash (rc=1, HAS progress -> no budget
+    # burn); launch 2: stalls after epoch 3 (None = no new ckpt) ->
+    # killed; launch 3: runs to the target epoch 5.
+    procs = [FakeProc([1, 2], rc=1),
+             FakeProc([3, None, None, None], rc=0),
+             FakeProc([4, 5], rc=0)]
+
+    def popen(argv, **kw):
+        launches.append(argv)
+        return procs[len(launches) - 1]
+
+    clock = {"t": 0.0}
+
+    pc.resident_training(
+        ws, 5, ["fake_trainer"], env={}, log_path=log_path,
+        stall_timeout=2.5, max_retries=2, eval_batch=2,
+        pending_evals=lambda now: list(range(1, now + 1)),
+        eval_epochs=lambda pend: evals.append(list(pend)),
+        poll_s=1.0, popen=popen,
+        sleep=lambda s: clock.__setitem__("t", clock["t"] + s),
+        now=lambda: clock["t"],
+        wait_backend=lambda log: None)
+
+    assert len(launches) == 3
+    assert evals and all(len(e) >= 2 for e in evals)
+    out = capsys.readouterr().out
+    assert "stalled" in out
+    # the crash WITH progress must not consume the retry budget
+    assert "attempts left" not in out
+
+
+def test_resident_training_budget_exhaustion(tmp_path):
+    ws = str(tmp_path)
+    os.makedirs(os.path.join(ws, "dbsr", "default_synthetic"))
+    log_path = os.path.join(ws, "log.txt")
+
+    class DeadProc:
+        returncode = 1
+
+        def poll(self):
+            return 1
+
+        def kill(self):
+            pass
+
+        def wait(self):
+            return 1
+
+    with pytest.raises(RuntimeError, match="failed repeatedly"):
+        pc.resident_training(
+            ws, 5, ["fake"], env={}, log_path=log_path,
+            stall_timeout=10, max_retries=2, eval_batch=2,
+            pending_evals=lambda now: [], eval_epochs=lambda p: None,
+            poll_s=0.0, popen=lambda argv, **kw: DeadProc(),
+            sleep=lambda s: None, now=lambda: 0.0,
+            wait_backend=lambda log: None)

@@ -257,6 +257,69 @@ def seed_pretrained_flow(ws: str, artifact: str, pwc_epochs: int,
     return dst
 
 
+def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
+                      max_retries, eval_batch, pending_evals, eval_epochs,
+                      poll_s: float = 20.0, popen=None, sleep=time.sleep,
+                      now=time.time, wait_backend=None):
+    """RESIDENT training: ONE subprocess driven to the final epoch — the
+    compiled step, staged pools and process state stay resident across
+    the whole campaign (the per-chunk ~380 s startup tax becomes a
+    one-time cost). The driver monitors checkpoint files for progress; a
+    stall (no new checkpoint in ``stall_timeout``) or a crash kills/
+    loses the process and a relaunch resumes from the latest checkpoint.
+    Evals fire CONCURRENTLY as checkpoints land (the eval worker is its
+    own process; chip residency coexists — proven by round 3's campaign,
+    where the worker stayed resident across chunks). The retry budget
+    counts only launches that exit abnormally with ZERO new checkpoints;
+    any progress resets it."""
+    if wait_backend is None:
+        from dbsr_tpu.utils.backend_probe import wait_for_backend
+        wait_backend = wait_for_backend
+    popen = popen or subprocess.Popen
+    attempts_left = max_retries
+
+    def current():
+        return latest_epoch(ws, "dbsr/default_synthetic", "dbsr_synthetic")
+
+    while current() < epochs:
+        wait_backend(log=lambda m: print(f"train: {m}", flush=True))
+        print(f"+ {' '.join(argv)} (resident)", flush=True)
+        log = open(log_path, "a")
+        log.write(f"\n===== {time.strftime('%F %T')} {' '.join(argv)} "
+                  "(resident)\n")
+        log.flush()
+        proc = popen(argv, cwd=REPO, env=env, stdout=log,
+                     stderr=subprocess.STDOUT)
+        start_epoch = last = current()
+        t_progress = now()
+        stalled = False
+        while proc.poll() is None:
+            sleep(poll_s)
+            cur = current()
+            if cur > last:
+                last, t_progress = cur, now()
+                attempts_left = max_retries  # progress resets the budget
+                pend = pending_evals(cur)
+                if len(pend) >= eval_batch:
+                    eval_epochs(pend)  # concurrent with training
+            elif now() - t_progress > stall_timeout:
+                print(f"trainer stalled (no checkpoint past epoch {last} "
+                      f"in {stall_timeout}s); relaunching", flush=True)
+                proc.kill()
+                proc.wait()
+                stalled = True
+                break
+        log.close()
+        if not stalled and proc.returncode not in (0, None) and \
+                current() <= start_epoch:
+            attempts_left -= 1
+            print(f"trainer exited rc={proc.returncode} without progress "
+                  f"({attempts_left} attempts left)", flush=True)
+            if attempts_left <= 0:
+                raise RuntimeError(
+                    f"resident training failed repeatedly; see {log_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workspace", required=True)
@@ -432,63 +495,10 @@ def main():
             if len(pend) >= args.eval_batch or now >= args.epochs:
                 eval_epochs(pend)
     else:
-        # RESIDENT training: ONE subprocess driven to the final epoch —
-        # the compiled step, staged pools and process state stay
-        # resident across the whole campaign (the per-chunk ~380 s
-        # startup tax becomes a one-time cost). The driver monitors
-        # checkpoint files for progress; a stall (no new checkpoint in
-        # --stall_timeout) or a crash kills/loses the process and a
-        # relaunch resumes from the latest checkpoint. Evals fire
-        # CONCURRENTLY as checkpoints land (the eval worker is its own
-        # process; chip residency coexists — proven by round 3's
-        # campaign, where the worker stayed resident across chunks).
-        from dbsr_tpu.utils.backend_probe import wait_for_backend
-        attempts_left = args.max_retries
-        while latest_epoch(ws, "dbsr/default_synthetic",
-                           "dbsr_synthetic") < args.epochs:
-            wait_for_backend(log=lambda m: print(f"train: {m}", flush=True))
-            argv = train_argv(py, args.epochs, args.train_set)
-            print(f"+ {' '.join(argv)} (resident)", flush=True)
-            log = open(log_path, "a")
-            log.write(f"\n===== {time.strftime('%F %T')} {' '.join(argv)} "
-                      "(resident)\n")
-            log.flush()
-            proc = subprocess.Popen(argv, cwd=REPO, env=env, stdout=log,
-                                    stderr=subprocess.STDOUT)
-            last = latest_epoch(ws, "dbsr/default_synthetic",
-                                "dbsr_synthetic")
-            t_progress = time.time()
-            stalled = False
-            while proc.poll() is None:
-                time.sleep(20)
-                now = latest_epoch(ws, "dbsr/default_synthetic",
-                                   "dbsr_synthetic")
-                if now > last:
-                    last, t_progress = now, time.time()
-                    attempts_left = args.max_retries  # progress resets
-                    pend = pending_evals(now)
-                    if len(pend) >= args.eval_batch:
-                        eval_epochs(pend)  # concurrent with training
-                elif time.time() - t_progress > args.stall_timeout:
-                    print(f"trainer stalled (no checkpoint past epoch "
-                          f"{last} in {args.stall_timeout}s); relaunching",
-                          flush=True)
-                    proc.kill()
-                    proc.wait()
-                    stalled = True
-                    break
-            log.close()
-            if not stalled and proc.returncode not in (0, None) and \
-                    latest_epoch(ws, "dbsr/default_synthetic",
-                                 "dbsr_synthetic") <= last:
-                attempts_left -= 1
-                print(f"trainer exited rc={proc.returncode} without "
-                      f"progress ({attempts_left} attempts left)",
-                      flush=True)
-                if attempts_left <= 0:
-                    raise RuntimeError(
-                        f"resident training failed repeatedly; "
-                        f"see {log_path}")
+        resident_training(
+            ws, args.epochs, train_argv(py, args.epochs, args.train_set),
+            env, log_path, args.stall_timeout, args.max_retries,
+            args.eval_batch, pending_evals, eval_epochs)
 
     eval_epochs(pending_evals(args.epochs))
     if worker is not None:
