@@ -30,11 +30,21 @@ from dbsr_tpu.utils.png16 import read_png, write_png
 
 
 def _alignment_apply_from(params):
-    """Bind a PWCNet apply to the alignment params inside a DBSR
-    checkpoint."""
-    pwc = PWCNet()
-    align_params = {"params": params["params"]["encoder"]["alignment_net"]}
-    return lambda s, t: pwc.apply(align_params, s, t)
+    """Bind the checkpoint's aligner (PWC-Net or AlignLite, detected
+    from the ``encoder/alignment_net`` parameter structure) to an
+    ``(source, target) -> flow`` apply for SCA. Note AlignLite's
+    coarsest correlation covers ~±16 px of displacement — ample for the
+    synthetic regime it is trained on; for real BurstSR pred→GT offsets
+    beyond that, stage reference PWC weights instead
+    (``utils/convert_pwcnet.py``)."""
+    sub = params["params"]["encoder"]["alignment_net"]
+    if "extractor" in sub and "dec0" in sub:
+        from dbsr_tpu.models.align_lite import AlignLiteNet
+        net = AlignLiteNet()
+    else:
+        net = PWCNet()
+    align_params = {"params": sub}
+    return lambda s, t: net.apply(align_params, s, t)
 
 
 def save_results(network_params: List[NetworkParam], dataset_root: str,

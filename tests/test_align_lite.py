@@ -165,3 +165,19 @@ def test_align_lite_net_requires_mult_of_4():
     with pytest.raises(AssertionError):
         net.init(jax.random.key(0), jnp.zeros((1, 18, 18, 3)),
                  jnp.zeros((1, 18, 18, 3)))
+
+
+def test_sca_alignment_apply_detects_lite(batch):
+    """_alignment_apply_from must bind the right aligner module based on
+    the checkpoint's alignment_net parameter structure (SCA for
+    realworld fine-tune/eval of lite-aligner checkpoints)."""
+    from dbsr_tpu.evaluation.burstsr import _alignment_apply_from
+    from dbsr_tpu.models.dbsr import dbsrnet_tiny
+
+    net = dbsrnet_tiny(upsample_factor=4, flow_net="lite",
+                       train_alignment=False)
+    dparams = jax.jit(net.init)(jax.random.key(2), batch["burst"])
+    apply_fn = _alignment_apply_from(dparams)
+    src = jnp.zeros((2, 16, 16, 3))
+    flow = jax.jit(apply_fn)(src, src)
+    assert flow.shape == (2, 16, 16, 2)
