@@ -87,3 +87,38 @@ def test_babysit_budget_exhaustion_falls_through(tmp_path, monkeypatch):
     sq.babysit_campaign(str(ws), [], str(tmp_path / "pidfile"),
                         max_relaunches=2, sleep=lambda s: None)
     assert len(launches) == 2  # budget respected; returns instead of spinning
+
+
+def test_round4_queue_arms(tmp_path, monkeypatch):
+    """round4_queue: babysits the flagship, then each arm with the
+    flagship's copied val set and its --train_set overrides."""
+    spec = importlib.util.spec_from_file_location(
+        "round4_queue",
+        os.path.join(os.path.dirname(__file__), os.pardir, "util_scripts",
+                     "round4_queue.py"))
+    r4q = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(r4q)
+
+    ws = tmp_path / "camp"
+    (ws / "procedural_val").mkdir(parents=True)
+    (ws / "procedural_val" / "format.json").write_text("{}")
+
+    sits, snaps = [], []
+    monkeypatch.setattr(r4q.sq, "launch_snapshot",
+                        lambda w, **k: snaps.append(w))
+    monkeypatch.setattr(r4q.sq, "babysit_campaign",
+                        lambda w, extra, pidfile, retries:
+                        sits.append((w, list(extra))))
+
+    r4q.main(["--campaign_ws", str(ws), "--arm_epochs", "20"])
+
+    assert sits[0] == (str(ws), [])
+    assert sits[1] == (str(ws) + "_mix",
+                       ["--epochs", "20", "--train_set", "mix=mixed"])
+    assert sits[2] == (str(ws) + "_s2",
+                       ["--epochs", "20", "--train_set", "seed=2"])
+    # arms got the flagship's frozen val set
+    for suffix in ("_mix", "_s2"):
+        assert os.path.exists(os.path.join(
+            str(ws) + suffix, "procedural_val", "format.json"))
+    assert len(snaps) == 3
