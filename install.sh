@@ -19,6 +19,12 @@ for k in ("zurichraw2rgb_dir", "burstsr_dir", "synburstval_dir",
     print(f"  {k}: {getattr(env, k)!r}")
 PY
 
+echo "*** aligner ***"
+echo "  The shipped aligner (AlignLite) pretrains from scratch in ~30 min"
+echo "  of chip time — no downloads:"
+echo "      python run_training.py align_lite pretrain_synthetic"
+echo "  (a pretrained artifact also ships in dbsr_tpu/artifacts/)"
+
 echo "*** optional pretrained weights (for eval-parity experiments) ***"
 echo "  - PWC-Net: convert a pwcnet-network-default.pth with"
 echo "      python -c 'from dbsr_tpu.utils.convert_pwcnet import *; ...'"
