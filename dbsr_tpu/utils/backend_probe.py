@@ -22,7 +22,13 @@ import sys
 import time
 from typing import Callable, Optional, Sequence
 
-_PROBE_SNIPPET = "import jax; jax.devices()"
+# The probe must EXECUTE and FETCH, not just enumerate: the observed
+# relay-wedge mode (round 4, twice) leaves jax.devices() working while
+# every execution/fetch hangs — an enumeration-only probe declares the
+# backend healthy mid-outage and the relaunched trainer wedges again.
+_PROBE_SNIPPET = ("import jax, jax.numpy as jnp; "
+                  "x = jnp.ones((64, 64)); "
+                  "assert float((x @ x).sum()) == 64.0 * 64 * 64")
 
 
 def backend_ready(timeout: float = 90.0,

@@ -345,9 +345,12 @@ def main():
                          "amortizes the ~380 s per-chunk startup into "
                          "ONE process and fires evals concurrently as "
                          "checkpoints land)")
-    ap.add_argument("--stall_timeout", type=int, default=1800,
+    ap.add_argument("--stall_timeout", type=int, default=900,
                     help="resident mode: relaunch the trainer if no new "
-                         "checkpoint lands within this many seconds")
+                         "checkpoint lands within this many seconds "
+                         "(steady epochs are ~160 s; 900 s rides out "
+                         "eval-concurrency stretches but caps the idle "
+                         "cost of a wedged-relay outage)")
     ap.add_argument("--chunk_timeout", type=int, default=7200)
     ap.add_argument("--eval_timeout", type=int, default=3600)
     ap.add_argument("--max_retries", type=int, default=3,
