@@ -37,8 +37,8 @@ from typing import Iterable, List, Sequence, Tuple
 
 WATCHDOG_PATTERNS = ("campaign_watchdog.py",)
 DRIVER_PATTERNS = ("chip_queue.py", "queue_rerun.py", "session_queue.py",
-                   "parity_campaign.py", "flow_ablation.py",
-                   "pwc_pretrain_probe.py")
+                   "round4_queue.py", "parity_campaign.py",
+                   "flow_ablation.py", "pwc_pretrain_probe.py")
 STAGE_PATTERNS = ("run_training.py", "run_evaluation.py", "eval_worker.py",
                   "generate_synthetic_burst_val.py", "train_perf_probe.py",
                   "synth_perf_probe.py", "tpu_parity_check.py")
