@@ -75,7 +75,6 @@ def test_learns_fixed_batch_fast(batch):
         upd, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, upd), opt, stats
 
-    _, stats0 = jax.jit(lambda p: actor(p, batch))(params), None
     epe0 = float(jax.jit(actor)(params, batch)[1]["Stat/epe"])
     for _ in range(30):
         params, opt, stats = step(params, opt)
