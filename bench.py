@@ -87,12 +87,17 @@ TRAIN_BATCH = 16
 TRAIN_ITERS = 8
 
 
-def bench_train_step():
+def bench_train_step(flow_net: str = "pwc"):
     """Full train step: on-device fused synthesis -> DBSR fwd+bwd
-    (train_alignment=False — the reference's frozen-PWC protocol, see the
-    comment below — bf16 compute, s2d decoder) -> Adam. Same methodology
-    as the eval loop (device-side fori_loop, scalar-fetch sync, best of 3
-    distinct inputs)."""
+    (train_alignment=False — the reference's frozen-aligner protocol, see
+    the comment below — bf16 compute, s2d decoder) -> Adam. Same
+    methodology as the eval loop (device-side fori_loop, scalar-fetch
+    sync, best of 3 distinct inputs).
+
+    ``flow_net='pwc'`` is the reference-architecture step (metric
+    comparable across rounds); ``'lite'`` is the SHIPPED flagship
+    protocol since round 4 (AlignLite aligner, ``models/align_lite.py``)
+    — reported as ``synthetic_train_step_throughput_lite``."""
     import optax
 
     from dbsr_tpu.data.synthetic import BurstConfig, synthesize_batch
@@ -108,7 +113,7 @@ def bench_train_step():
     # zero-egress configs may train it end-to-end (no pretrained weights),
     # but the apples-to-apples step cost is the frozen-PWC one.
     net = dbsrnet_cvpr2021(train_alignment=False, dtype=jnp.bfloat16,
-                           fused_s2d_decoder=True)
+                           fused_s2d_decoder=True, flow_net=flow_net)
     actor = make_synthetic_actor(net, boundary_ignore=40)
     tx = optax.adam(1e-4)
 
@@ -155,7 +160,7 @@ def bench_train_step():
     # decoder layout computes 4x FLOPs in the post-shuffle stage as a
     # speed trade, and counting that inflation would overstate MFU.
     net_count = dbsrnet_cvpr2021(train_alignment=False, dtype=jnp.bfloat16,
-                                 fused_s2d_decoder=False)
+                                 fused_s2d_decoder=False, flow_net=flow_net)
     actor_count = make_synthetic_actor(net_count, boundary_ignore=40)
 
     def one_step_count(params, opt_state, crops):
@@ -170,8 +175,10 @@ def bench_train_step():
     if step_flops:
         mfu = round(step_flops * TRAIN_ITERS / best
                     / V5E_PEAK_BF16_FLOPS * 100, 2)
+    metric = "synthetic_train_step_throughput" + (
+        "" if flow_net == "pwc" else f"_{flow_net}")
     out = {
-        "metric": "synthetic_train_step_throughput",
+        "metric": metric,
         "value": round(bursts_per_sec, 3),
         "unit": "bursts/sec/chip",
         "vs_baseline": round(
@@ -250,8 +257,10 @@ if __name__ == "__main__":
     from dbsr_tpu.utils.chip_guard import ChipPause
 
     with ChipPause():
-        # train metric first; the eval-forward line stays LAST (the
-        # driver parses the final JSON line — unchanged metric since
-        # round 1)
+        # train metrics first (reference-architecture PWC step for
+        # round-over-round comparability, then the shipped lite-aligner
+        # protocol); the eval-forward line stays LAST (the driver parses
+        # the final JSON line — unchanged metric since round 1)
         bench_train_step()
+        bench_train_step(flow_net="lite")
         main()
