@@ -32,17 +32,23 @@ from dbsr_tpu.utils.png16 import read_png, write_png
 def _alignment_apply_from(params):
     """Bind the checkpoint's aligner (PWC-Net or AlignLite, detected
     from the ``encoder/alignment_net`` parameter structure) to an
-    ``(source, target) -> flow`` apply for SCA. Note AlignLite's
-    coarsest correlation covers ~±16 px of displacement — ample for the
-    synthetic regime it is trained on; for real BurstSR pred→GT offsets
-    beyond that, stage reference PWC weights instead
-    (``utils/convert_pwcnet.py``)."""
+    ``(source, target) -> flow`` apply for SCA. AlignLite is applied
+    coarse-to-fine (scales 4 -> 1), extending its displacement envelope
+    to ~±64 px at SCA scales."""
     sub = params["params"]["encoder"]["alignment_net"]
     if "extractor" in sub and "dec0" in sub:
-        from dbsr_tpu.models.align_lite import AlignLiteNet
+        from dbsr_tpu.models.align_lite import (AlignLiteNet,
+                                                coarse_to_fine_flow)
         net = AlignLiteNet()
-    else:
-        net = PWCNet()
+        align_params = {"params": sub}
+        # SCA inputs are full-RGB at prediction scale (8x the packed
+        # pitch AlignLite trains at): apply coarse-to-fine so the
+        # displacement and content pitch land in its trained regime
+        # (measured: direct application recovers ~20% of a 7 px shift;
+        # coarse-to-fine recovers it — tests/test_synthetic_burstsr.py)
+        return lambda s, t: coarse_to_fine_flow(
+            lambda a, b: net.apply(align_params, a, b), s, t)
+    net = PWCNet()
     align_params = {"params": sub}
     return lambda s, t: net.apply(align_params, s, t)
 

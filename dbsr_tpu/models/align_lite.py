@@ -193,3 +193,35 @@ class BurstAlignLite(nn.Module):
             return flow.reshape((B, N - 1) + flow.shape[-3:]), aux
         flow = net(flat(oth), flat(ref))
         return flow.reshape((B, N - 1) + flow.shape[-3:])
+
+
+def coarse_to_fine_flow(apply_fn, source, target, scales=(4, 1)):
+    """Apply a short-range flow net coarse-to-fine across image SCALES.
+
+    AlignLite is trained at burst-SR pitch (48x48 packed frames); fed
+    SCA-sized full-RGB images (e.g. 640^2 BurstSR pred->GT) directly it
+    underestimates large displacements (measured: ~20% of a 7 px shift).
+    Estimating at 1/4 scale puts both the displacement and the content
+    pitch near its training regime; optional finer passes estimate the
+    residual against the coarse-warped source (flows compose additively
+    — the standard coarse-to-fine approximation).
+
+    ``apply_fn(source, target) -> flow`` at any mult-of-4 size;
+    ``scales`` are downscale factors, coarsest first, each dividing the
+    input size. Returns full-resolution flow in input px.
+    """
+    from dbsr_tpu.ops.interp import backwarp_auto, resize_bilinear
+
+    H, W = source.shape[-3], source.shape[-2]
+    flow = None
+    for s in scales:
+        hw = (H // s, W // s)
+        src = source if s == 1 else resize_bilinear(source, hw)
+        tgt = target if s == 1 else resize_bilinear(target, hw)
+        if flow is None:
+            flow = resize_bilinear(apply_fn(src, tgt), (H, W)) * float(s)
+        else:
+            flow_s = resize_bilinear(flow, hw) / float(s)
+            residual = apply_fn(backwarp_auto(src, flow_s), tgt)
+            flow = flow + resize_bilinear(residual, (H, W)) * float(s)
+    return flow
