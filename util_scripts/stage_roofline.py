@@ -148,6 +148,30 @@ def main():
         flops=analytic_flops(merge_fb, mparams, enc_in),
         bytes=conv_chain_bytes(merge_tensors))
 
+    # ---- aligner fwd (frozen in the shipped protocol): AlignLite vs
+    # PWC on the train pair-batch [B*(N-1), 48, 48, 3] ----
+    from dbsr_tpu.models.align_lite import AlignLiteNet
+    from dbsr_tpu.models.pwcnet import PWCNet
+
+    pairs = B * (N - 1)
+    src = jax.random.uniform(jax.random.key(6), (pairs, H, W, 3),
+                             jnp.float32).astype(jnp.bfloat16)
+    tgt = jax.random.uniform(jax.random.key(7), (pairs, H, W, 3),
+                             jnp.float32).astype(jnp.bfloat16)
+    for name, net in (("aligner_lite", AlignLiteNet(dtype=jnp.bfloat16)),
+                      ("aligner_pwc", PWCNet(dtype=jnp.bfloat16))):
+        aparams = jax.jit(net.init)(jax.random.key(8), src, tgt)
+
+        def align_fwd(params, a, b, net=net):
+            return net.apply(params, a, b)
+
+        # traffic is negligible next to the compute-path stages; report
+        # FLOPs-roofline only (bytes ~ a few activations at 48^2)
+        stages[name] = dict(
+            fn=align_fwd, args=(aparams, src, tgt),
+            flops=analytic_flops(align_fwd, aparams, src, tgt),
+            bytes=pairs * H * W * (3 * 2 + 2) * 4)
+
     # ---- decoder: PixShuffleDecoder fwd+bwd at [B, 48, 48, 512] ----
     for s2d in (False, True):
         dec = PixShuffleDecoder(dtype=jnp.bfloat16, fused_s2d=s2d)
