@@ -114,42 +114,91 @@ def test_snapshot_step_state_machine(tmp_path, monkeypatch):
     ws.mkdir()
     label = "rX"
     monkeypatch.setattr(sc, "REPO", str(tmp_path / "repo"))
+    ckpt = tmp_path / "repo" / sc.ART_DIR / "rX_best_params.ckpt"
     commits, exports = [], []
+
+    def export():
+        exports.append(1)
+        ckpt.parent.mkdir(parents=True, exist_ok=True)
+        ckpt.write_bytes(b"params")
 
     def commit(paths, msg):
         commits.append(msg)
         return "committed"
 
-    # 1. rows but incomplete: trajectory commit only, no export
+    # 1. first scored rows, incomplete: trajectory commit + MID-FLIGHT
+    # bank (nothing banked yet) — but NOT the daemon's exit condition
     (ws / "campaign_trajectory.jsonl").write_text(_row(5, 30.12))
     done = sc.snapshot_step(str(ws), label, False, commit=commit,
-                            export=lambda: exports.append(1),
-                            complete=lambda w: False)
-    assert done is False and exports == []
-    assert commits == ["Snapshot campaign rX trajectory "
-                       "(epoch 5, best 30.12 dB)"]
+                            export=export, complete=lambda w: False)
+    assert done is False and exports == [1]
+    assert commits == [
+        "Snapshot campaign rX trajectory (epoch 5, best 30.12 dB)",
+        "Snapshot campaign rX in-flight best checkpoint "
+        "(epoch 5, 30.12 dB)"]
 
-    # 2. unchanged + incomplete: nothing happens
+    # 2. unchanged + incomplete: nothing happens (spacing gate — the
+    # fresh artifact mtime blocks a re-bank)
     done = sc.snapshot_step(str(ws), label, False, commit=commit,
-                            export=lambda: exports.append(1),
-                            complete=lambda w: False)
-    assert done is False and len(commits) == 1
+                            export=export, complete=lambda w: False)
+    assert done is False and exports == [1] and len(commits) == 2
 
-    # 3. complete: export once + params commit
+    # 3. complete: unconditional final export + params commit
     (ws / "campaign_trajectory.jsonl").write_text(
         _row(5, 30.12) + _row(100, 33.4))
     done = sc.snapshot_step(str(ws), label, False, commit=commit,
-                            export=lambda: exports.append(1),
-                            complete=lambda w: True)
-    assert done is True and exports == [1]
+                            export=export, complete=lambda w: True)
+    assert done is True and exports == [1, 1]
     assert commits[-1] == ("Snapshot campaign rX best checkpoint "
                            "(epoch 100, 33.40 dB)")
 
     # 4. already exported: no second export even though complete
     done = sc.snapshot_step(str(ws), label, True, commit=commit,
-                            export=lambda: exports.append(1),
-                            complete=lambda w: True)
-    assert done is True and exports == [1]
+                            export=export, complete=lambda w: True)
+    assert done is True and exports == [1, 1]
+
+
+def test_snapshot_step_midflight_margin_and_spacing(tmp_path, monkeypatch):
+    """In-flight banking fires only when the best scored epoch beats the
+    BANKED one by MIDFLIGHT_MARGIN_DB and the last blob is older than
+    MIDFLIGHT_SPACING_S — the bound on repo bloat."""
+    ws = tmp_path / "ws"
+    ws.mkdir()
+    monkeypatch.setattr(sc, "REPO", str(tmp_path / "repo"))
+    ckpt = tmp_path / "repo" / sc.ART_DIR / "rX_best_params.ckpt"
+    exports, clock = [], [1000.0]
+    banked = [None]  # what banked_psnr would report for the artifact
+
+    def export():
+        exports.append(1)
+        ckpt.parent.mkdir(parents=True, exist_ok=True)
+        ckpt.write_bytes(b"params")
+        os.utime(ckpt, (clock[0], clock[0]))
+
+    monkeypatch.setattr(sc, "banked_psnr", lambda c, t: banked[0])
+    step = lambda: sc.snapshot_step(
+        str(ws), "rX", False, commit=lambda p, m: "committed",
+        export=export, complete=lambda w: False, now=lambda: clock[0])
+
+    (ws / "campaign_trajectory.jsonl").write_text(_row(5, 30.0))
+    assert step() is False and exports == [1]  # nothing banked -> bank
+    banked[0] = 30.0
+
+    # +0.3 dB: below margin, even after the spacing window
+    clock[0] += sc.MIDFLIGHT_SPACING_S + 1
+    (ws / "campaign_trajectory.jsonl").write_text(
+        _row(5, 30.0) + _row(10, 30.3))
+    assert step() is False and exports == [1]
+
+    # +0.6 dB but inside the spacing window: still gated
+    (ws / "campaign_trajectory.jsonl").write_text(
+        _row(5, 30.0) + _row(10, 30.6))
+    clock[0] = 1000.0 + 10
+    assert step() is False and exports == [1]
+
+    # +0.6 dB and spaced: banks
+    clock[0] = 1000.0 + sc.MIDFLIGHT_SPACING_S + 1
+    assert step() is False and exports == [1, 1]
 
 
 def test_snapshot_step_export_failure_retried(tmp_path, monkeypatch):

@@ -62,15 +62,27 @@ def main(argv=None):
     ap.add_argument("--arms", default="mix:mix=mixed,s2:seed=2",
                     metavar="NAME:K=V[;K=V],...",
                     help="suffix:overrides pairs for the post-campaign "
-                         "20-epoch arms")
+                         "20-epoch arms ('' disables)")
+    ap.add_argument("--campaign_set", action="append", default=[],
+                    metavar="K=V",
+                    help="--train_set overrides for the FLAGSHIP campaign "
+                         "(repeatable) — passed on every relaunch, so a "
+                         "babysat mixed-corpus flagship keeps its corpus "
+                         "across driver restarts")
     ap.add_argument("--max_relaunches", type=int, default=3)
     args = ap.parse_args(argv)
 
     ws = os.path.abspath(args.campaign_ws)
+    flag_extra = []
+    for kv in args.campaign_set:
+        flag_extra += ["--train_set", kv]
     sq.launch_snapshot(ws)
-    sq.babysit_campaign(ws, [], cq.CAMPAIGN_PIDFILE, args.max_relaunches)
+    sq.babysit_campaign(ws, flag_extra, cq.CAMPAIGN_PIDFILE,
+                        args.max_relaunches)
 
     for spec in args.arms.split(","):
+        if not spec:
+            continue
         name, _, overrides = spec.partition(":")
         arm_ws = f"{ws}_{name}"
         seed_arm_workspace(ws, arm_ws)

@@ -11,12 +11,17 @@ workspace and:
      ``dbsr_tpu/artifacts/campaigns/<label>_trajectory.jsonl`` and
      commits it whenever new scored rows land (a few hundred bytes per
      eval point — cheap to commit every time);
-  2. when the driver log says ``campaign complete``, exports the
-     best-PSNR checkpoint params-only via
-     ``util_scripts/export_best_dbsr.py`` into
+  2. banks the best-PSNR checkpoint params-only (via
+     ``util_scripts/export_best_dbsr.py``) into
      ``dbsr_tpu/artifacts/campaigns/<label>_best_params.ckpt`` and
-     commits that too (ONE ~40 MB blob per campaign, never per epoch —
-     repeated binary blobs would bloat the pack), then exits.
+     commits it — MID-FLIGHT whenever the best scored epoch beats the
+     banked one by ``MIDFLIGHT_MARGIN_DB`` (rate-limited to one blob
+     per ``MIDFLIGHT_SPACING_S``: binary blobs bloat the pack, so the
+     margin+spacing bound the count to a handful per campaign), and
+     unconditionally at ``campaign complete``, then exits. Round 4
+     lost a 37.31 dB epoch-60 checkpoint to a VM reset because banking
+     only happened at completion; mid-flight banking caps the loss
+     window at ~max(spacing, margin) of progress.
 
 Commits are pathspec-scoped (``git commit -- <snapshot paths>``) so a
 concurrent interactive session's staged or dirty files are never swept
@@ -58,11 +63,14 @@ def read_file(path: str):
         return None
 
 
-def best_row(traj_text: str):
-    """(epoch, psnr) of the best scored epoch, or None. Same dedup
-    semantics as ``export_best_dbsr.best_epoch`` (last occurrence wins
-    per epoch — restarted campaigns re-append early epochs), so the
-    commit-message tag always matches what the exporter ships."""
+MIDFLIGHT_MARGIN_DB = 0.5    # min PSNR gain before re-banking in-flight
+MIDFLIGHT_SPACING_S = 1200.0  # min seconds between in-flight blobs
+
+
+def _traj_rows(traj_text: str) -> dict:
+    """{epoch: psnr} with last-occurrence-wins per epoch (restarted
+    campaigns re-append early epochs) — the same dedup semantics as
+    ``export_best_dbsr.best_epoch``."""
     rows = {}
     for line in traj_text.splitlines():
         try:
@@ -71,10 +79,41 @@ def best_row(traj_text: str):
             continue
         if "epoch" in r and "psnr" in r:
             rows[r["epoch"]] = r["psnr"]
+    return rows
+
+
+def best_row(traj_text: str):
+    """(epoch, psnr) of the best scored epoch, or None — matches what
+    the exporter ships, so commit-message tags never disagree."""
+    rows = _traj_rows(traj_text)
     if not rows:
         return None
     e = max(rows, key=lambda k: rows[k])
     return e, rows[e]
+
+
+def banked_psnr(ckpt: str, traj_text: str):
+    """Trajectory PSNR of the epoch currently banked in the params
+    artifact, or None (no artifact / unreadable header / epoch no
+    longer in the trajectory). Re-derived from the artifact itself so a
+    restarted daemon knows what is already safe without local state."""
+    if not os.path.exists(ckpt):
+        return None
+    try:
+        from dbsr_tpu.training.checkpoint import _read
+        epoch = _read(ckpt)[0].get("epoch")
+    except Exception:
+        return None
+    return _traj_rows(traj_text).get(epoch)
+
+
+def _uncommitted(path: str) -> bool:
+    """True when ``path`` differs from git HEAD (a prior export whose
+    commit never landed — e.g. index.lock contention)."""
+    r = subprocess.run(
+        ["git", "status", "--porcelain", "--", os.path.relpath(path, REPO)],
+        cwd=REPO, capture_output=True, text=True)
+    return r.returncode == 0 and bool(r.stdout.strip())
 
 
 def snapshot_trajectory(ws: str, dest: str):
@@ -121,9 +160,12 @@ def git_commit(paths, msg, cwd=REPO, run=subprocess.run, retries=6,
 
 
 def snapshot_step(ws: str, label: str, exported: bool,
-                  commit=git_commit, export=None, complete=None) -> bool:
-    """One poll: trajectory snapshot + (on completion) best-params
-    export. Returns the new ``exported`` state."""
+                  commit=git_commit, export=None, complete=None,
+                  now=time.time) -> bool:
+    """One poll: trajectory snapshot + best-params banking (mid-flight
+    on margin+spacing, unconditional at completion). Returns the new
+    ``exported`` state (True only once the FINAL export is in git —
+    the daemon's exit condition)."""
     cq = _load("chip_queue")
     complete = complete if complete is not None else cq.campaign_complete
     traj_dest = os.path.join(REPO, ART_DIR, f"{label}_trajectory.jsonl")
@@ -134,28 +176,48 @@ def snapshot_step(ws: str, label: str, exported: bool,
                if best else "no scored rows yet")
         commit([traj_dest],
                f"Snapshot campaign {label} trajectory ({tag})")
-    if exported or not complete(ws):
-        return exported
+    if exported:
+        return True
+    traj_text = read_file(traj_dest) or ""
+    best = best_row(traj_text)
+    if best is None:
+        return False
     ckpt = os.path.join(REPO, ART_DIR, f"{label}_best_params.ckpt")
+    done = complete(ws)
+    skip_export = False
+    if not done:
+        prev = banked_psnr(ckpt, traj_text)
+        improved = prev is None or best[1] >= prev + MIDFLIGHT_MARGIN_DB
+        spaced = not os.path.exists(ckpt) or \
+            now() - os.path.getmtime(ckpt) >= MIDFLIGHT_SPACING_S
+        if improved and spaced:
+            pass  # bank a new in-flight best below
+        elif os.path.exists(ckpt) and _uncommitted(ckpt):
+            skip_export = True  # a prior export never landed in git:
+            #                     retry just the commit
+        else:
+            return False
     if export is None:
         def export(ws=ws, out=ckpt):
             return _load("export_best_dbsr").main(
                 ["--workspace", ws, "--out", out])
-    try:
-        export()
-    except Exception as e:  # traj present but no checkpoint: retry later
-        print(f"best-params export failed ({e}); will retry", flush=True)
-        return False
+    if not skip_export:
+        try:
+            export()
+        except Exception as e:  # traj present but no ckpt: retry later
+            print(f"best-params export failed ({e}); will retry",
+                  flush=True)
+            return False
     best = best_row(read_file(traj_dest) or "")
     tag = f"epoch {best[0]}, {best[1]:.2f} dB" if best else "untracked best"
-    # exported=True only once the params blob is actually IN git
-    # ('committed', or 'clean' on a re-run after a prior commit landed);
-    # on 'failed' (e.g. index.lock contention outlasting the retry
-    # budget) keep polling and retry the commit next round.
-    status = commit([ckpt, os.path.join(REPO, ART_DIR,
-                                        f"{label}_trajectory.jsonl")],
-                    f"Snapshot campaign {label} best checkpoint ({tag})")
-    return status in ("committed", "clean")
+    phase = "best checkpoint" if done else "in-flight best checkpoint"
+    # exported=True only once the campaign is COMPLETE and the params
+    # blob is actually IN git ('committed', or 'clean' on a re-run after
+    # a prior commit landed); on 'failed' (e.g. index.lock contention
+    # outlasting the retry budget) keep polling and retry next round.
+    status = commit([ckpt, traj_dest],
+                    f"Snapshot campaign {label} {phase} ({tag})")
+    return done and status in ("committed", "clean")
 
 
 def main(argv=None):
