@@ -8,6 +8,12 @@ bounded retry budget on attempts that cannot possibly succeed. These
 helpers let a driver distinguish "the stage failed" from "the backend is
 unreachable" and pause the retry clock for the latter.
 
+The probe timeout must cover the relay's COLD-START cost, not just a
+healthy round-trip: a fresh probe process pays jax import + remote
+backend init + a remote 64x64 compile, measured at ~130 s on a slow
+but HEALTHY tunnel (round 4: a 90 s default declared a working chip
+unreachable and stalled the campaign driver in its polling loop).
+
 The probe runs in a SUBPROCESS: on a wedged relay, backend init hangs
 inside ``jax.devices()`` and cannot be interrupted in-process, so an
 in-process probe would wedge the driver itself. (Fail-safe counterpart of
@@ -31,7 +37,7 @@ _PROBE_SNIPPET = ("import jax, jax.numpy as jnp; "
                   "assert float((x @ x).sum()) == 64.0 * 64 * 64")
 
 
-def backend_ready(timeout: float = 90.0,
+def backend_ready(timeout: float = 300.0,
                   probe_argv: Optional[Sequence[str]] = None,
                   log: Optional[Callable[[str], None]] = None) -> bool:
     """True when a fresh process can initialize the JAX backend within
@@ -70,7 +76,7 @@ def backend_ready(timeout: float = 90.0,
 
 def wait_for_backend(poll_interval: float = 150.0,
                      max_wait: Optional[float] = None,
-                     timeout: float = 90.0,
+                     timeout: float = 300.0,
                      probe_argv: Optional[Sequence[str]] = None,
                      log: Callable[[str], None] = print) -> bool:
     """Block until :func:`backend_ready`; returns False if ``max_wait``

@@ -33,6 +33,14 @@ def main():
     p.add_argument("--num_bursts", type=int, default=300)
     p.add_argument("--burst_size", type=int, default=14)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fused_resample", action="store_true",
+                   help="synthesize with the FUSED single-pass resample "
+                        "kernel (the training fast path) instead of the "
+                        "strict two-stage kernel eval sets normally use "
+                        "— for measuring the train/eval degradation-"
+                        "kernel mismatch (same seed => same source "
+                        "images, crops and trajectories; only the "
+                        "resampling kernel differs)")
     args = p.parse_args()
     if (args.source_dir is None) == (args.procedural is None):
         p.error("exactly one of --source_dir / --procedural is required")
@@ -47,7 +55,8 @@ def main():
 
     cfg = BurstConfig(burst_size=args.burst_size, crop_sz=(384, 384),
                       downsample_factor=4, border_crop=24,
-                      max_translation=24.0, max_rotation=1.0)
+                      max_translation=24.0, max_rotation=1.0,
+                      fused_resample=args.fused_resample)
     if args.procedural is not None:
         from dbsr_tpu.data.procedural import ProceduralImages
         ds = ProceduralImages(args.procedural,
