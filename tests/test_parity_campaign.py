@@ -280,3 +280,21 @@ def test_resident_training_budget_exhaustion(tmp_path):
             poll_s=0.0, popen=lambda argv, **kw: DeadProc(),
             sleep=lambda s: None, now=lambda: 0.0,
             wait_backend=lambda log: None)
+
+
+def test_kernel_mismatch_table():
+    """util_scripts/kernel_mismatch.py builds the strict-vs-fused table
+    from two compute_score dicts, tolerating a net missing from the
+    fused run."""
+    spec = importlib.util.spec_from_file_location(
+        "kernel_mismatch",
+        os.path.join(os.path.dirname(__file__), os.pardir, "util_scripts",
+                     "kernel_mismatch.py"))
+    km = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(km)
+    strict = {"psnr": {"a": 33.0, "b": 36.0}, "ssim": {"a": 0.9, "b": 0.95}}
+    fused = {"psnr": {"a": 33.5}, "ssim": {"a": 0.91}}
+    t = km.mismatch_table(strict, fused)
+    assert t["a"]["psnr_gap_fused_minus_strict"] == pytest.approx(0.5)
+    assert t["b"]["psnr_fused"] is None
+    assert "psnr_gap_fused_minus_strict" not in t["b"]
