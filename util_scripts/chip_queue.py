@@ -94,6 +94,9 @@ def _child_env() -> dict:
 
 
 def launch(argv, out_path: str, pidfile: str) -> None:
+    # a fresh post-reset launch writes <ws>/snapshot.out before any
+    # stage has created the workspace directory
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "a") as out:
         p = subprocess.Popen(argv, cwd=REPO, stdout=out,
                              stderr=subprocess.STDOUT,
