@@ -425,9 +425,36 @@ class Trainer:
         path = ckpt.resolve_checkpoint(self.workspace_dir, self.net_name)
         if path is None:
             return state
+        if ckpt.read_header(path).get("params_only"):
+            return self._resume_params_only(path, state)
         header, state = ckpt.load_checkpoint(path, state)
         self.epoch = header["epoch"]
         print(f"resumed from {path} (epoch {self.epoch})", flush=True)
+        return state
+
+    def _resume_params_only(self, path: str, state: TrainState) -> TrainState:
+        """Reset-recovery resume from a PARAMS-ONLY artifact dropped into
+        the workspace (a git-banked campaign best seeded back after a VM
+        reset wiped the full checkpoints — round 4 lost 60 epochs to
+        exactly that). Params are grafted at their recorded epoch; the
+        optimizer state is FRESH (the artifact carries none — Adam's
+        moments re-accumulate within a few hundred steps) and the
+        step counter is fast-forwarded so the step-indexed LR schedule
+        (``step_lr_schedule``) resumes at the right rung, mirroring the
+        reference's ``lr_scheduler.last_epoch`` sync on resume
+        (``trainers/base_trainer.py:181-199``)."""
+        from flax import serialization
+        header, raw = ckpt.load_checkpoint(path)
+        params = serialization.from_state_dict(state.params, raw["params"])
+        self.epoch = int(header["epoch"])
+        steps_per_epoch = max(
+            (l.num_batches() for l in self.loaders if l.training), default=0)
+        state = state.replace(
+            params=params,
+            step=jnp.asarray(self.epoch * steps_per_epoch, jnp.int32))
+        print(f"resumed PARAMS-ONLY from {path} (epoch {self.epoch}, "
+              f"fresh optimizer state, step fast-forwarded to "
+              f"{self.epoch * steps_per_epoch})", flush=True)
         return state
 
     # ------------------------------------------------------------------

@@ -255,6 +255,63 @@ def test_resident_training_monitors_and_retries(tmp_path, capsys):
     assert "attempts left" not in out
 
 
+def test_resident_training_fires_backlog_on_relaunch(tmp_path):
+    """A driver relaunched over a workspace with checkpoints but unscored
+    eval points (the round-4 r4mix failure: 19 checkpoints, zero rows)
+    must fire the eval backlog IMMEDIATELY at launch — not wait for the
+    next new-checkpoint tick to accumulate >= eval_batch points."""
+    ws = str(tmp_path)
+    ckpt_dir = os.path.join(ws, "dbsr", "default_synthetic")
+    os.makedirs(ckpt_dir)
+    # workspace already at epoch 19 from a previous incarnation
+    open(os.path.join(ckpt_dir, "dbsr_synthetic_ep0019.ckpt"), "w").close()
+    log_path = os.path.join(ws, "log.txt")
+
+    class FakeProc:
+        returncode = None
+
+        def __init__(self):
+            self.ticks = 0
+
+        def poll(self):
+            self.ticks += 1
+            if self.ticks >= 2:  # one new ckpt then finish
+                open(os.path.join(
+                    ckpt_dir, "dbsr_synthetic_ep0020.ckpt"), "w").close()
+                self.returncode = 0
+                return 0
+            return None
+
+        def kill(self):
+            pass
+
+        def wait(self):
+            return 0
+
+    evals = []
+    scored = set()
+
+    def pending(now):
+        return [e for e in range(5, now + 1, 5) if e not in scored]
+
+    def eval_epochs(pend):
+        evals.append(list(pend))
+        scored.update(pend)
+
+    clock = {"t": 0.0}
+    pc.resident_training(
+        ws, 20, ["fake_trainer"], env={}, log_path=log_path,
+        stall_timeout=100, max_retries=2, eval_batch=4,
+        pending_evals=pending, eval_epochs=eval_epochs,
+        poll_s=1.0, popen=lambda argv, **kw: FakeProc(),
+        sleep=lambda s: clock.__setitem__("t", clock["t"] + s),
+        now=lambda: clock["t"],
+        wait_backend=lambda log: None)
+
+    # the backlog [5, 10, 15] fired at launch, before any new checkpoint
+    assert evals and evals[0] == [5, 10, 15]
+
+
 def test_resident_training_budget_exhaustion(tmp_path):
     ws = str(tmp_path)
     os.makedirs(os.path.join(ws, "dbsr", "default_synthetic"))

@@ -180,23 +180,26 @@ def test_snapshot_step_midflight_margin_and_spacing(tmp_path, monkeypatch):
         str(ws), "rX", False, commit=lambda p, m: "committed",
         export=export, complete=lambda w: False, now=lambda: clock[0])
 
+    below = 30.0 + 0.5 * sc.MIDFLIGHT_MARGIN_DB
+    above = 30.0 + 1.2 * sc.MIDFLIGHT_MARGIN_DB
+
     (ws / "campaign_trajectory.jsonl").write_text(_row(5, 30.0))
     assert step() is False and exports == [1]  # nothing banked -> bank
     banked[0] = 30.0
 
-    # +0.3 dB: below margin, even after the spacing window
+    # below margin: gated, even after the spacing window
     clock[0] += sc.MIDFLIGHT_SPACING_S + 1
     (ws / "campaign_trajectory.jsonl").write_text(
-        _row(5, 30.0) + _row(10, 30.3))
+        _row(5, 30.0) + _row(10, below))
     assert step() is False and exports == [1]
 
-    # +0.6 dB but inside the spacing window: still gated
+    # above margin but inside the spacing window: still gated
     (ws / "campaign_trajectory.jsonl").write_text(
-        _row(5, 30.0) + _row(10, 30.6))
+        _row(5, 30.0) + _row(10, above))
     clock[0] = 1000.0 + 10
     assert step() is False and exports == [1]
 
-    # +0.6 dB and spaced: banks
+    # above margin and spaced: banks
     clock[0] = 1000.0 + sc.MIDFLIGHT_SPACING_S + 1
     assert step() is False and exports == [1, 1]
 

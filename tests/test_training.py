@@ -333,6 +333,44 @@ def test_params_only_artifact_roundtrip_and_resume_guard(tmp_path):
         ckpt.load_checkpoint(art, state)
 
 
+def test_params_only_resume_grafts_and_fast_forwards(tmp_path, capsys):
+    """A params-only artifact DROPPED INTO the workspace (the campaign's
+    post-VM-reset seeding path) resumes training: params grafted at the
+    artifact's epoch, optimizer state fresh, step counter fast-forwarded
+    so the step-indexed LR schedule lands on the right rung."""
+    ws1 = tmp_path / "run1"
+    ws1.mkdir()
+    t1 = _make_trainer(ws1)
+    t1.train(2, load_latest=False, fail_safe=False)
+    src = ckpt.resolve_checkpoint(str(ws1), "tiny", 2)
+    header, raw = ckpt.load_checkpoint(src)
+
+    ws2 = tmp_path / "run2"  # "wiped" workspace, reseeded from the bank
+    ws2.mkdir()
+    art = ckpt.save_params_artifact(
+        str(ws2 / "tiny_ep0002.ckpt"), header, {"params": raw["params"]})
+
+    t2 = _make_trainer(ws2)
+    state0 = t2.init_state()
+    state = t2._load_latest(state0)
+    assert t2.epoch == 2
+    # params match the artifact exactly
+    got = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.params))
+    want = jax.tree_util.tree_leaves(raw["params"])
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # step fast-forwarded: 2 epochs x 4 batches/epoch
+    assert int(state.step) == 8
+    out = capsys.readouterr().out
+    assert "PARAMS-ONLY" in out
+    # and training continues from there to the target epoch
+    t2.train(3, load_latest=True, fail_safe=False)
+    assert t2.epoch == 3
+    assert ckpt.resolve_checkpoint(str(ws2), "tiny", 3) is not None
+    assert art  # artifact path used above
+
+
 def test_mid_epoch_divergence_aborts_cycle(tmp_path):
     """A print-interval whose mean loss blows past the intra-epoch guard
     aborts the cycle from inside the real _cycle/flush path (and the

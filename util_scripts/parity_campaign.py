@@ -257,6 +257,51 @@ def seed_pretrained_flow(ws: str, artifact: str, pwc_epochs: int,
     return dst
 
 
+def seed_dbsr_from_bank(ws: str) -> str:
+    """Reseed a WIPED workspace's DBSR checkpoint dir from the repo's
+    git-banked campaign best (params-only artifact written by the
+    snapshot daemon). The trainer grafts the params at their recorded
+    epoch with a fresh optimizer and a fast-forwarded LR step
+    (``Trainer._resume_params_only``), so a VM reset now costs at most
+    the snapshot daemon's margin+spacing banking window instead of the
+    whole campaign — round 4 lost 60 epochs to exactly this. Restores
+    the banked trajectory + per-epoch eval markers alongside, so the
+    relaunched driver does not try to re-score epochs whose full
+    checkpoints no longer exist. Returns the seeded path or ''."""
+    if latest_epoch(ws, "dbsr/default_synthetic", "dbsr_synthetic") > 0:
+        return ""
+    label = os.path.basename(os.path.normpath(ws))
+    art_dir = os.path.join(REPO, "dbsr_tpu", "artifacts", "campaigns")
+    bank = os.path.join(art_dir, f"{label}_best_params.ckpt")
+    if not os.path.exists(bank):
+        return ""
+    from dbsr_tpu.training.checkpoint import read_header
+    epoch = int(read_header(bank).get("epoch", 0))
+    if epoch <= 0:
+        return ""
+    import shutil
+    dst_dir = os.path.join(ws, "dbsr", "default_synthetic")
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, f"dbsr_synthetic_ep{epoch:04d}.ckpt")
+    shutil.copyfile(bank, dst)
+    traj_bank = os.path.join(art_dir, f"{label}_trajectory.jsonl")
+    if os.path.exists(traj_bank):
+        shutil.copyfile(traj_bank,
+                        os.path.join(ws, "campaign_trajectory.jsonl"))
+        with open(traj_bank) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                if "epoch" in row:
+                    marker = os.path.join(
+                        ws, f"eval_ep{row['epoch']:04d}.json")
+                    with open(marker, "w") as m:
+                        json.dump(row, m)
+    return dst
+
+
 def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
                       max_retries, eval_batch, pending_evals, eval_epochs,
                       poll_s: float = 20.0, popen=None, sleep=time.sleep,
@@ -269,9 +314,12 @@ def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
     loses the process and a relaunch resumes from the latest checkpoint.
     Evals fire CONCURRENTLY as checkpoints land (the eval worker is its
     own process; chip residency coexists — proven by round 3's campaign,
-    where the worker stayed resident across chunks). The retry budget
-    counts only launches that exit abnormally with ZERO new checkpoints;
-    any progress resets it."""
+    where the worker stayed resident across chunks). A relaunched driver
+    fires any eval BACKLOG immediately (round 4's r4mix campaign sat at
+    epoch 19 with zero scored rows because pending points only fired on
+    a new-checkpoint tick once they numbered >= eval_batch). The retry
+    budget counts only launches that exit abnormally with ZERO new
+    checkpoints; any progress resets it."""
     if wait_backend is None:
         from dbsr_tpu.utils.backend_probe import wait_for_backend
         wait_backend = wait_for_backend
@@ -293,6 +341,12 @@ def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
         start_epoch = last = current()
         t_progress = now()
         stalled = False
+        backlog = pending_evals(last)
+        if backlog:
+            # score the backlog of a relaunched/restarted driver right
+            # away (concurrent with the trainer's startup compile)
+            eval_epochs(backlog)
+            t_progress = now()  # eval time is not trainer stall time
         while proc.poll() is None:
             sleep(poll_s)
             cur = current()
@@ -302,6 +356,9 @@ def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
                 pend = pending_evals(cur)
                 if len(pend) >= eval_batch:
                     eval_epochs(pend)  # concurrent with training
+                    t_progress = now()  # a long eval blocks this monitor
+                    #                     loop, not the trainer: give the
+                    #                     stall clock a fresh window
             elif now() - t_progress > stall_timeout:
                 print(f"trainer stalled (no checkpoint past epoch {last} "
                       f"in {stall_timeout}s); relaunching", flush=True)
@@ -327,11 +384,14 @@ def main():
     ap.add_argument("--chunk", type=int, default=5,
                     help="epochs per training subprocess")
     ap.add_argument("--eval_every", type=int, default=5)
-    ap.add_argument("--eval_batch", type=int, default=4,
+    ap.add_argument("--eval_batch", type=int, default=2,
                     help="trajectory-score checkpoints in batches of this "
                          "many eval points (one eval process pays the "
                          "val-set staging + compile retrieval ONCE per "
-                         "batch instead of per checkpoint)")
+                         "batch instead of per checkpoint). Keep small: "
+                         "round 4 lost a campaign with ZERO scored rows "
+                         "because batch=4 x eval_every=5 deferred the "
+                         "first eval to epoch 20 and a reset hit at 19")
     ap.add_argument("--val_bursts", type=int, default=300)
     ap.add_argument("--aligner", choices=sorted(ALIGNERS), default="lite",
                     help="pretrained aligner kind: 'lite' (AlignLite — "
@@ -434,6 +494,12 @@ def main():
             args.eval_timeout, "val set generation")
     print("val set ready", flush=True)
 
+    seeded_dbsr = seed_dbsr_from_bank(ws)
+    if seeded_dbsr:
+        print(f"seeded DBSR campaign state from git bank ({seeded_dbsr}); "
+              "trainer resumes params-only with a fresh optimizer",
+              flush=True)
+
     def eval_marker(epoch):
         return os.path.join(ws, f"eval_ep{epoch:04d}.json")
 
@@ -446,30 +512,43 @@ def main():
     worker = None if args.no_worker else \
         EvalWorkerClient(ws, env, log_path, py)
 
-    def eval_epochs(epochs):
+    def eval_epochs(epochs, fatal=False):
         """Score a BATCH of checkpoints, preferring the persistent eval
         worker (val set stays staged in HBM + compiled graph reused
         ACROSS batches for the whole campaign) with the one-shot
         trajectory-eval subprocess as fallback (that one still pays
         ~30s compile retrieval + ~150s val-set transfer per invocation
         over the relay). Per-epoch JSON markers keep resumption
-        idempotent at eval-point granularity."""
+        idempotent at eval-point granularity.
+
+        Mid-campaign eval failures are NON-fatal (``fatal=False``): the
+        epochs stay pending and are retried on later ticks — an eval
+        problem must never take the resident trainer's driver down with
+        it. Only the end-of-campaign sweep passes ``fatal=True``."""
         if not epochs:
             return
-        out_json = os.path.join(
-            ws, f"eval_traj_{epochs[0]:04d}_{epochs[-1]:04d}.json")
-        done = worker is not None and \
-            worker.score(epochs, out_json, args.eval_timeout)
-        if not done:
-            run_with_retries(
-                [py, "run_evaluation.py", "synburst", "compute_score",
-                 "dbsr_default", "--no_lpips", "--all_epochs",
-                 "--epochs", ",".join(str(e) for e in epochs),
-                 "--json", out_json],
-                args.eval_timeout, f"eval@{epochs}")
-        with open(out_json) as f:
-            scores = json.load(f)
-        for row in trajectory_rows(scores, epochs):
+        try:
+            out_json = os.path.join(
+                ws, f"eval_traj_{epochs[0]:04d}_{epochs[-1]:04d}.json")
+            done = worker is not None and \
+                worker.score(epochs, out_json, args.eval_timeout)
+            if not done:
+                run_with_retries(
+                    [py, "run_evaluation.py", "synburst", "compute_score",
+                     "dbsr_default", "--no_lpips", "--all_epochs",
+                     "--epochs", ",".join(str(e) for e in epochs),
+                     "--json", out_json],
+                    args.eval_timeout, f"eval@{epochs}")
+            with open(out_json) as f:
+                scores = json.load(f)
+            rows = trajectory_rows(scores, epochs)
+        except Exception as e:
+            if fatal:
+                raise
+            print(f"eval@{epochs} failed non-fatally ({e}); epochs stay "
+                  "pending and retry on the next tick", flush=True)
+            return
+        for row in rows:
             epoch = row["epoch"]
             row["time"] = time.strftime("%F %T")
             suffix = f"_ep{epoch:04d}"
@@ -503,7 +582,7 @@ def main():
             env, log_path, args.stall_timeout, args.max_retries,
             args.eval_batch, pending_evals, eval_epochs)
 
-    eval_epochs(pending_evals(args.epochs))
+    eval_epochs(pending_evals(args.epochs), fatal=True)
     if worker is not None:
         worker.stop()
     print("campaign complete", flush=True)
