@@ -257,10 +257,11 @@ if __name__ == "__main__":
     from dbsr_tpu.utils.chip_guard import ChipPause
 
     with ChipPause():
-        # train metrics first (reference-architecture PWC step for
-        # round-over-round comparability, then the shipped lite-aligner
-        # protocol); the eval-forward line stays LAST (the driver parses
-        # the final JSON line — unchanged metric since round 1)
+        # The driver parses the FINAL JSON line as the headline metric.
+        # Since round 5 that is the SHIPPED protocol's train step (lite
+        # aligner — the step the flagship campaign actually pays, VERDICT
+        # r4 #3); the PWC-architecture step and the eval forward are
+        # printed first for round-over-round comparability.
         bench_train_step()
-        bench_train_step(flow_net="lite")
         main()
+        bench_train_step(flow_net="lite")

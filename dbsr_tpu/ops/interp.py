@@ -301,9 +301,14 @@ def backwarp_matmul(im: jax.Array, flow: jax.Array) -> jax.Array:
 
 
 # Above this many output positions the dense formulation's (H*W)^2*C FLOPs
-# overtake the gather's index cost; 2048 covers every PWC decoder level of
-# the DBSR shapes (train lvl2 = 32x32) with margin.
-_BACKWARP_MATMUL_MAX_P = 2048
+# overtake the gather's index cost. 2304 covers AlignLite's full-res L0
+# (48x48 at 24 ch — its one per-step backwarp above the old 2048 PWC-level
+# bound): measured on-chip at [112, 48, 48, 24] bf16 the hat-matrix path is
+# 2.18 ms vs the gather's 10.80 ms fwd (5x; f32 agreement 1.8e-07), the
+# single largest chunk of the lite-vs-pwc protocol step-time gap
+# (PERF.md round-4/5). Larger P grows quadratically — leave SCA/eval-size
+# images on the gather path.
+_BACKWARP_MATMUL_MAX_P = 2304
 
 
 def backwarp_auto(im: jax.Array, flow: jax.Array) -> jax.Array:
