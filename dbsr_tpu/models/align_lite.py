@@ -127,17 +127,30 @@ class AlignLiteNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, source_img, target_img, return_pyramid: bool = False):
-        assert source_img.shape == target_img.shape
+    def __call__(self, source_img, target_img, return_pyramid: bool = False,
+                 target_repeat: int = 1):
+        """``target_repeat > 1`` declares that every ``target_repeat``
+        consecutive sources share ONE target (the burst case: N-1 frames
+        vs a single reference): ``target_img``'s leading size is then
+        ``sources / target_repeat`` and its feature pyramid is extracted
+        ONCE per unique target and broadcast — numerically identical to
+        pre-broadcasting the image (the extractor is siamese and every
+        downstream op is per-pair), but skips the redundant extractor
+        passes XLA cannot dedupe."""
+        assert source_img.shape[-3:] == target_img.shape[-3:]
         lead = source_img.shape[:-3]
         H, W = source_img.shape[-3], source_img.shape[-2]
         assert H % 4 == 0 and W % 4 == 0, (H, W)
         src = source_img.reshape((-1, H, W) + source_img.shape[-1:])
         tgt = target_img.reshape((-1, H, W) + target_img.shape[-1:])
+        assert tgt.shape[0] * target_repeat == src.shape[0], (
+            src.shape, tgt.shape, target_repeat)
 
         extractor = LiteExtractor(name="extractor", dtype=self.dtype)
         f_src = extractor(src)
         f_tgt = extractor(tgt)
+        if target_repeat > 1:
+            f_tgt = [jnp.repeat(f, target_repeat, axis=0) for f in f_tgt]
 
         pyramid = {}
         flow = None
@@ -184,14 +197,15 @@ class BurstAlignLite(nn.Module):
         assert burst.ndim == 5, "expected [B, N, h, w, 4] packed burst"
         B, N = burst.shape[0], burst.shape[1]
         rgb = demosaic_naive(burst)
-        ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
+        ref = rgb[:, 0]  # unique per burst; pyramid broadcast inside
         oth = rgb[:, 1:]
         flat = lambda x: x.reshape((-1,) + x.shape[-3:])  # noqa: E731
         net = AlignLiteNet(name="alignment_net", dtype=self.dtype)
         if return_pyramid:
-            flow, aux = net(flat(oth), flat(ref), return_pyramid=True)
+            flow, aux = net(flat(oth), ref, return_pyramid=True,
+                            target_repeat=N - 1)
             return flow.reshape((B, N - 1) + flow.shape[-3:]), aux
-        flow = net(flat(oth), flat(ref))
+        flow = net(flat(oth), ref, target_repeat=N - 1)
         return flow.reshape((B, N - 1) + flow.shape[-3:])
 
 

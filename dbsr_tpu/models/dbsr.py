@@ -99,7 +99,6 @@ class AlignedEncoder(nn.Module):
 
         # pseudo-RGB for the flow net (reference encoders.py:52)
         rgb = demosaic_naive(burst)
-        ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
         oth = rgb[:, 1:]
 
         if self.flow_net == "pwc":
@@ -109,8 +108,17 @@ class AlignedEncoder(nn.Module):
             flow_cls = AlignLiteNet
         else:
             flow_cls = ConvFlow
-        flow = flow_cls(name="alignment_net", dtype=self.dtype)(
-            _flatten_frames(oth), _flatten_frames(ref))
+        if self.flow_net in ("pwc", "lite"):
+            # the reference frame is ONE image per burst: hand it to the
+            # flow net unbroadcast so the siamese extractor runs once per
+            # burst instead of N-1 times (pyramid broadcast inside —
+            # numerically identical, see AlignLiteNet/PWCFlowNet)
+            flow = flow_cls(name="alignment_net", dtype=self.dtype)(
+                _flatten_frames(oth), rgb[:, 0], target_repeat=N - 1)
+        else:
+            ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
+            flow = flow_cls(name="alignment_net", dtype=self.dtype)(
+                _flatten_frames(oth), _flatten_frames(ref))
         if not self.train_alignment:
             flow = jax.lax.stop_gradient(flow)
 

@@ -122,11 +122,20 @@ class PWCFlowNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, im_first, im_second, return_pyramid: bool = False):
+    def __call__(self, im_first, im_second, return_pyramid: bool = False,
+                 first_repeat: int = 1):
+        """``first_repeat > 1``: every ``first_repeat`` consecutive
+        ``im_second`` entries share ONE ``im_first`` (burst frames vs a
+        single reference); ``im_first``'s batch is then
+        ``im_second / first_repeat`` and its pyramid is extracted once
+        per unique image and broadcast — numerically identical to
+        pre-broadcasting (siamese extractor, per-pair decoders)."""
         d = self.dtype
         extractor = Extractor(name="extractor", dtype=d)
         f1 = extractor(im_first)
         f2 = extractor(im_second)
+        if first_repeat > 1:
+            f1 = [jnp.repeat(f, first_repeat, axis=0) for f in f1]
 
         pyramid = {}
         est = None
@@ -171,15 +180,16 @@ class BurstFlowNet(nn.Module):
         assert burst.ndim == 5, "expected [B, N, h, w, 4] packed burst"
         B, N = burst.shape[0], burst.shape[1]
         rgb = demosaic_naive(burst)
-        ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
+        ref = rgb[:, 0]  # unique per burst; pyramid broadcast inside
         oth = rgb[:, 1:]
         flat = lambda x: x.reshape((-1,) + x.shape[-3:])  # noqa: E731
         net = PWCNet(name="alignment_net", dtype=self.dtype)
         if return_pyramid:
-            flow, aux = net(flat(oth), flat(ref), return_pyramid=True)
+            flow, aux = net(flat(oth), ref, return_pyramid=True,
+                            target_repeat=N - 1)
             flow = flow.reshape((B, N - 1) + flow.shape[-3:])
             return flow.astype(jnp.float32), aux
-        flow = net(flat(oth), flat(ref))
+        flow = net(flat(oth), ref, target_repeat=N - 1)
         return flow.reshape((B, N - 1) + flow.shape[-3:]).astype(
             jnp.float32)
 
@@ -196,12 +206,19 @@ class PWCNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, source_img, target_img, return_pyramid: bool = False):
-        assert source_img.shape == target_img.shape
+    def __call__(self, source_img, target_img, return_pyramid: bool = False,
+                 target_repeat: int = 1):
+        """``target_repeat > 1``: every ``target_repeat`` consecutive
+        sources share ONE target whose pyramid is extracted once and
+        broadcast (see ``PWCFlowNet``); ``target_img``'s leading size is
+        then ``sources / target_repeat``."""
+        assert source_img.shape[-3:] == target_img.shape[-3:]
         lead = source_img.shape[:-3]
         H, W = source_img.shape[-3], source_img.shape[-2]
         src = source_img.reshape((-1, H, W, 3))
         tgt = target_img.reshape((-1, H, W, 3))
+        assert tgt.shape[0] * target_repeat == src.shape[0], (
+            src.shape, tgt.shape, target_repeat)
 
         Hp = int(math.ceil(H / 64.0) * 64)
         Wp = int(math.ceil(W / 64.0) * 64)
@@ -213,9 +230,10 @@ class PWCNet(nn.Module):
 
         net = PWCFlowNet(name="net", dtype=self.dtype)
         if return_pyramid:
-            raw, pyramid = net(tgt_r, src_r, return_pyramid=True)
+            raw, pyramid = net(tgt_r, src_r, return_pyramid=True,
+                               first_repeat=target_repeat)
         else:
-            raw = net(tgt_r, src_r)
+            raw = net(tgt_r, src_r, first_repeat=target_repeat)
         flow = 20.0 * resize_bilinear(raw, (H, W))
         scale = jnp.array([W / Wp, H / Hp], flow.dtype)
         flow = (flow * scale).reshape(lead + (H, W, 2))

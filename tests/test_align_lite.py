@@ -180,3 +180,57 @@ def test_sca_alignment_apply_detects_lite(batch):
     src = jnp.zeros((2, 16, 16, 3))
     flow = jax.jit(apply_fn)(src, src)
     assert flow.shape == (2, 16, 16, 2)
+
+
+def test_target_repeat_dedup_matches_broadcast():
+    """Extract-once-and-broadcast-the-pyramid (target_repeat) must equal
+    broadcast-the-image-first, for both aligners — the per-burst
+    reference dedup AlignedEncoder relies on."""
+    from dbsr_tpu.models.pwcnet import PWCNet
+
+    key = jax.random.key(11)
+    B, R, H, W = 2, 3, 16, 16
+    src = jax.random.uniform(key, (B * R, H, W, 3))
+    tgt_unique = jax.random.uniform(jax.random.fold_in(key, 1), (B, H, W, 3))
+    tgt_bcast = jnp.repeat(tgt_unique, R, axis=0)
+
+    lite = AlignLiteNet()
+    params = lite.init(jax.random.key(0), src, tgt_bcast)
+    ref_flow = lite.apply(params, src, tgt_bcast)
+    dedup_flow = lite.apply(params, src, tgt_unique, target_repeat=R)
+    np.testing.assert_allclose(np.asarray(dedup_flow),
+                               np.asarray(ref_flow), atol=1e-6)
+
+    pwc = PWCNet()
+    params = pwc.init(jax.random.key(0), src, tgt_bcast)
+    ref_flow = pwc.apply(params, src, tgt_bcast)
+    dedup_flow = pwc.apply(params, src, tgt_unique, target_repeat=R)
+    np.testing.assert_allclose(np.asarray(dedup_flow),
+                               np.asarray(ref_flow), atol=1e-6)
+
+
+def test_dedup_dbsrnet_forward_unchanged(batch):
+    """DBSRNet(flow_net='lite') forward must be unchanged by the encoder's
+    reference-frame dedup (same params, same output)."""
+    from dbsr_tpu.models.dbsr import AlignedEncoder
+
+    enc = AlignedEncoder(init_dim=8, num_res_blocks=1, out_dim=16,
+                         flow_net="lite")
+    params = enc.init(jax.random.key(3), batch["burst"])
+    out = enc.apply(params, batch["burst"])
+
+    # oracle: the same computation with the reference frame broadcast
+    # BEFORE the flow net (the pre-dedup formulation)
+    from dbsr_tpu.models.align_lite import AlignLiteNet as _A
+    from dbsr_tpu.ops.camera import demosaic_naive
+    burst = batch["burst"]
+    B, N = burst.shape[:2]
+    rgb = demosaic_naive(burst)
+    ref = jnp.broadcast_to(rgb[:, :1], (B, N - 1) + rgb.shape[-3:])
+    oth = rgb[:, 1:]
+    flat = lambda x: x.reshape((-1,) + x.shape[-3:])  # noqa: E731
+    flow = _A().apply({"params": params["params"]["alignment_net"]},
+                      flat(oth), flat(ref))
+    np.testing.assert_allclose(
+        np.asarray(out["offsets"]).reshape(flow.shape), np.asarray(flow),
+        atol=1e-6)
