@@ -89,6 +89,48 @@ def test_seed_pretrained_flow(tmp_path):
                                    str(tmp_path / "nope.ckpt"), 15) == ""
 
 
+def test_seed_dbsr_from_bank_restores_markers_up_to_bank(tmp_path,
+                                                        monkeypatch):
+    """Reset recovery for the FLAGSHIP: the wiped workspace is reseeded
+    from the git-banked best params, the banked trajectory is restored
+    whole (history), but eval markers only up to the banked epoch — the
+    replayed epochs must be re-scored so banking points exist during
+    the replay window (round 5 resumed at 45 with the lost lineage
+    scored through 70)."""
+    import json
+    import struct
+
+    def write_ckpt(path, epoch):
+        header = json.dumps({"epoch": epoch, "params_only": True}).encode()
+        with open(path, "wb") as f:
+            f.write(b"DBSRTPU1")
+            f.write(struct.pack("<Q", len(header)))
+            f.write(header)
+            f.write(b"\x80")
+
+    repo = tmp_path / "repo"
+    art = repo / "dbsr_tpu" / "artifacts" / "campaigns"
+    art.mkdir(parents=True)
+    ws = tmp_path / "dbsr_campaign_x"
+    ws.mkdir()
+    write_ckpt(art / "dbsr_campaign_x_best_params.ckpt", 45)
+    with open(art / "dbsr_campaign_x_trajectory.jsonl", "w") as f:
+        for e, p in [(40, 36.8), (45, 37.15), (50, 37.0), (70, 37.39)]:
+            f.write(json.dumps({"epoch": e, "psnr": p}) + "\n")
+    monkeypatch.setattr(pc, "REPO", str(repo))
+
+    dst = pc.seed_dbsr_from_bank(str(ws))
+    assert dst.endswith("dbsr_synthetic_ep0045.ckpt")
+    assert os.path.exists(dst)
+    assert (ws / "campaign_trajectory.jsonl").read_text().count("\n") == 4
+    assert (ws / "eval_ep0040.json").exists()
+    assert (ws / "eval_ep0045.json").exists()
+    assert not (ws / "eval_ep0050.json").exists()
+    assert not (ws / "eval_ep0070.json").exists()
+    # idempotent: an existing workspace checkpoint suppresses reseeding
+    assert pc.seed_dbsr_from_bank(str(ws)) == ""
+
+
 def test_watchdog_should_kill_logic():
     """Watchdog kills only when the log is stale AND the stage process
     is old enough to be past first compile (fresh subprocesses print
@@ -177,6 +219,12 @@ def test_export_best_dbsr_picks_max_psnr(tmp_path):
         empty = tmp_path / "empty.jsonl"
         empty.write_text("")
         eb.best_epoch(str(empty))
+
+    # post-reset fallback: rows from the lost lineage (no checkpoint on
+    # disk) must be skipped, not wedge the exporter
+    assert eb.best_epoch(str(traj), have={5}) == (5, 29.0)
+    with pytest.raises(ValueError, match="checkpoint on disk"):
+        eb.best_epoch(str(traj), have=set())
 
 
 def test_resident_training_monitors_and_retries(tmp_path, capsys):

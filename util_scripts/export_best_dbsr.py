@@ -24,17 +24,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def best_epoch(traj_path: str) -> tuple:
+def best_epoch(traj_path: str, have=None) -> tuple:
     """(epoch, psnr) of the highest-PSNR scored epoch; last line wins
-    per epoch (restarted campaigns re-append early epochs)."""
+    per epoch (restarted campaigns re-append early epochs). With
+    ``have`` (a container of epochs whose checkpoints exist), restrict
+    to those: after a VM reset, the trajectory keeps rows from the lost
+    lineage whose checkpoints no longer exist — exporting must fall
+    back to the best epoch that is actually on disk, or banking wedges
+    for the whole replay window."""
     rows = {}
     with open(traj_path) as f:
         for line in f:
             r = json.loads(line)
             if "epoch" in r and "psnr" in r:
                 rows[r["epoch"]] = r["psnr"]
+    if have is not None:
+        rows = {e: p for e, p in rows.items() if e in have}
     if not rows:
-        raise ValueError(f"no scored epochs in {traj_path}")
+        raise ValueError(f"no scored epochs in {traj_path}"
+                         + ("" if have is None
+                            else " with a checkpoint on disk"))
     e = max(rows, key=lambda k: rows[k])
     return e, rows[e]
 
@@ -46,13 +55,16 @@ def main(argv=None):
         REPO, "dbsr_tpu", "artifacts", "dbsr_synthetic_params.ckpt"))
     args = ap.parse_args(argv)
 
-    from dbsr_tpu.training.checkpoint import (load_checkpoint,
+    from dbsr_tpu.training.checkpoint import (list_checkpoints,
+                                              load_checkpoint,
                                               resolve_checkpoint,
                                               save_params_artifact)
 
-    epoch, psnr = best_epoch(
-        os.path.join(args.workspace, "campaign_trajectory.jsonl"))
     src_dir = os.path.join(args.workspace, "dbsr", "default_synthetic")
+    have = {e for e, _ in list_checkpoints(src_dir, "dbsr_synthetic")}
+    epoch, psnr = best_epoch(
+        os.path.join(args.workspace, "campaign_trajectory.jsonl"),
+        have=have)
     path = resolve_checkpoint(src_dir, "dbsr_synthetic", epoch)
     header, raw = load_checkpoint(path)
     out = save_params_artifact(args.out, header, {"params": raw["params"]})

@@ -288,13 +288,20 @@ def seed_dbsr_from_bank(ws: str) -> str:
     if os.path.exists(traj_bank):
         shutil.copyfile(traj_bank,
                         os.path.join(ws, "campaign_trajectory.jsonl"))
+        # restore eval markers only UP TO the banked resume epoch:
+        # trajectory rows beyond it belong to the lost lineage (their
+        # checkpoints are gone), and the replayed epochs must be
+        # re-scored so (a) the trajectory reflects the lineage actually
+        # trained and (b) the snapshot daemon gets banking points
+        # DURING the replay window instead of only after the old best
+        # is surpassed
         with open(traj_bank) as f:
             for line in f:
                 try:
                     row = json.loads(line)
                 except ValueError:
                     continue
-                if "epoch" in row:
+                if "epoch" in row and row["epoch"] <= epoch:
                     marker = os.path.join(
                         ws, f"eval_ep{row['epoch']:04d}.json")
                     with open(marker, "w") as m:

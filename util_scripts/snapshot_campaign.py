@@ -63,12 +63,15 @@ def read_file(path: str):
         return None
 
 
-MIDFLIGHT_MARGIN_DB = 0.25   # min PSNR gain before re-banking in-flight
+MIDFLIGHT_MARGIN_DB = 0.05   # min PSNR gain before re-banking in-flight
 #                              (params-only blobs measure ~17 MB; since the
 #                              banked best is now also the campaign's
 #                              reset-RESUME point, a tighter margin directly
-#                              caps the post-reset replay cost)
-MIDFLIGHT_SPACING_S = 1200.0  # min seconds between in-flight blobs
+#                              caps the post-reset replay cost. 0.25 dB cost
+#                              round 5 twenty-five epochs: epoch 70's
+#                              37.39 dB was +0.235 over the epoch-45 bank —
+#                              under the margin — when VM reset #4 landed)
+MIDFLIGHT_SPACING_S = 900.0   # min seconds between in-flight blobs
 
 
 def _traj_rows(traj_text: str) -> dict:
