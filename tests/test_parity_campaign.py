@@ -303,6 +303,56 @@ def test_resident_training_monitors_and_retries(tmp_path, capsys):
     assert "attempts left" not in out
 
 
+def test_resident_training_first_checkpoint_gets_doubled_window(tmp_path):
+    """A fresh trainer's FIRST checkpoint rides a cold-cache remote
+    compile (measured 14 min post-reset); the stall window before any
+    progress must be 2x stall_timeout, and drop back to 1x after."""
+    ws = str(tmp_path)
+    ckpt_dir = os.path.join(ws, "dbsr", "default_synthetic")
+    os.makedirs(ckpt_dir)
+
+    class FakeProc:
+        returncode = None
+
+        def __init__(self):
+            self.kill_time = None
+
+        def poll(self):
+            return -9 if self.kill_time is not None else None
+
+        def kill(self):
+            self.kill_time = clock["t"]
+            self.returncode = -9
+
+        def wait(self):
+            return -9
+
+    clock = {"t": 0.0}
+    procs = []
+
+    def popen(argv, **kw):
+        procs.append(FakeProc())
+        if len(procs) > 2:  # stop the test after two stall-kills
+            write = os.path.join(ckpt_dir, "dbsr_synthetic_ep0005.ckpt")
+            open(write, "w").close()
+        return procs[-1]
+
+    pc.resident_training(
+        ws, 5, ["fake_trainer"], env={}, log_path=os.path.join(ws, "l"),
+        stall_timeout=10.0, max_retries=3, eval_batch=99,
+        pending_evals=lambda now: [],
+        eval_epochs=lambda pend: None,
+        poll_s=1.0, popen=popen,
+        sleep=lambda s: clock.__setitem__("t", clock["t"] + s),
+        now=lambda: clock["t"],
+        wait_backend=lambda log: None)
+
+    # both stall-kills happened with ZERO progress -> doubled window:
+    # killed after >20 virtual seconds, not at the 10 s steady window
+    assert procs[0].kill_time > 20.0
+    assert procs[1].kill_time - procs[0].kill_time > 20.0
+
+
 def test_resident_training_fires_backlog_on_relaunch(tmp_path):
     """A driver relaunched over a workspace with checkpoints but unscored
     eval points (the round-4 r4mix failure: 19 checkpoints, zero rows)

@@ -366,7 +366,13 @@ def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
                     t_progress = now()  # a long eval blocks this monitor
                     #                     loop, not the trainer: give the
                     #                     stall clock a fresh window
-            elif now() - t_progress > stall_timeout:
+            elif now() - t_progress > (stall_timeout if cur > start_epoch
+                                       else 2 * stall_timeout):
+                # a fresh process's FIRST checkpoint rides a cold-cache
+                # remote compile (measured 14 min post-VM-reset under
+                # host CPU load — round 5's relaunch was stall-killed
+                # the moment it finished compiling); give it a doubled
+                # window, steady-state keeps stall_timeout
                 print(f"trainer stalled (no checkpoint past epoch {last} "
                       f"in {stall_timeout}s); relaunching", flush=True)
                 proc.kill()
