@@ -43,6 +43,21 @@ def test_alive_and_campaign_complete(tmp_path):
     pidfile.write_text("999999999")
     assert not cq.alive(str(pidfile))            # ESRCH
 
+    # a ZOMBIE is dead for pidfile purposes: os.kill(pid, 0) succeeds on
+    # one, and a babysitter trusting kill-0 waits on the corpse forever
+    # (round 5: the killed campaign driver was never relaunched)
+    import subprocess
+    import time
+    z = subprocess.Popen(["true"])
+    for _ in range(100):                          # wait for Z state
+        with open(f"/proc/{z.pid}/stat") as f:
+            if f.read().rsplit(")", 1)[1].split()[0] == "Z":
+                break
+        time.sleep(0.05)
+    pidfile.write_text(str(z.pid))
+    assert not cq.alive(str(pidfile))            # zombie
+    z.wait()
+
     ws = str(tmp_path / "camp")
     assert not cq.campaign_complete(ws)          # no driver.out
     os.makedirs(ws)

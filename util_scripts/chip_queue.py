@@ -37,8 +37,17 @@ def alive(pidfile: str) -> bool:
         with open(pidfile) as f:
             pid = int(f.read().strip())
         os.kill(pid, 0)
-        return True
     except (OSError, ValueError):
+        return False
+    # os.kill(pid, 0) SUCCEEDS on zombies: a launcher that Popen()s a
+    # driver and never wait()s leaves the dead driver in Z state, and a
+    # babysitter trusting kill-0 then waits on the corpse forever
+    # (observed live in round 5 — the killed campaign driver was never
+    # relaunched). A zombie is dead for every purpose a pidfile serves.
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return f.read().rsplit(")", 1)[1].split()[0] != "Z"
+    except (OSError, IndexError):
         return False
 
 
