@@ -44,6 +44,41 @@ P = B * (N - 1)  # frame pairs per step
 ITERS = 8
 
 
+def analytic(fn, *args):
+    """(flops, io_bytes) of ``fn(*args)``: XLA HLO cost-analysis FLOPs
+    (CPU lowering, Pallas disabled — the same oracle numerator
+    bench.py's MFU uses) and the perfect-fusion HBM traffic lower
+    bound (read every input once + write every output once, bf16).
+    ``max(flops/PEAK, io_bytes/HBM)`` is the component's optimistic
+    roofline; a measured time well above it has fusion/layout/dispatch
+    headroom, one near it is hardware-bound."""
+    env = os.environ.get("DBSR_DISABLE_PALLAS")
+    os.environ["DBSR_DISABLE_PALLAS"] = "1"
+    try:
+        shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.result_type(x)), args)
+        with jax.default_device(jax.devices("cpu")[0]):
+            ca = jax.jit(fn).lower(*shapes).cost_analysis()
+            outs = jax.eval_shape(fn, *shapes)
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        size = lambda t: t.size * t.dtype.itemsize  # noqa: E731
+        io = sum(size(x) for x in jax.tree.leaves(shapes)) + \
+            sum(size(x) for x in jax.tree.leaves(outs))
+        return flops, float(io)
+    finally:
+        if env is None:
+            del os.environ["DBSR_DISABLE_PALLAS"]
+        else:
+            os.environ["DBSR_DISABLE_PALLAS"] = env
+
+
+V5E_PEAK_BF16 = 197e12  # FLOP/s
+V5E_HBM = 819e9         # B/s
+
+
 def timeit(fn, *args, iters=None):
     iters = iters or ITERS
 
@@ -88,9 +123,18 @@ def main(argv=None):
     burst = jax.random.uniform(key, (B, N, H, W, 4), jnp.float32)
     results = {}
 
-    def report(name, ms):
-        results[name] = ms
-        print(f"{name:30s} {ms:8.3f} ms", flush=True)
+    def report(name, ms, fn=None, args=()):
+        row = {"ms": ms}
+        line = f"{name:34s} {ms:8.3f} ms"
+        if fn is not None:
+            flops, io = analytic(lambda *a: fn(0, *a), *args)
+            t_roof = max(flops / V5E_PEAK_BF16, io / V5E_HBM) * 1e3
+            row.update(flops=flops, io_bytes=io, roofline_ms=t_roof,
+                       x_roofline=ms / t_roof if t_roof else float("inf"))
+            line += (f"  roof {t_roof:7.3f} ms  ({ms / t_roof:5.1f}x, "
+                     f"{flops / 1e9:6.2f} GF, {io / 1e6:7.1f} MB)")
+        results[name] = row
+        print(line, flush=True)
 
     guard = ChipPause() if not args.no_guard else None
     if guard:
@@ -103,13 +147,14 @@ def main(argv=None):
         def full(i, p, b):
             return net.apply(p, b * (1 + 1e-6 * i)).astype(
                 jnp.float32).sum()
-        report("full BurstAlignLite fwd", timeit(full, params, burst))
+        report("full BurstAlignLite fwd", timeit(full, params, burst),
+               full, (params, burst))
 
         # ---- demosaic ----
         def demo(i, b):
             return demosaic_naive(b * (1 + 1e-6 * i)).astype(
                 jnp.float32).sum()
-        report("demosaic", timeit(demo, burst))
+        report("demosaic", timeit(demo, burst), demo, (burst,))
 
         # ---- extractor on all 128 images ----
         rgb = jnp.asarray(demosaic_naive(burst))
@@ -120,7 +165,8 @@ def main(argv=None):
         def extract(i, p, x):
             fs = ext.apply(p, x * (1 + 1e-6 * i))
             return sum(f.astype(jnp.float32).sum() for f in fs)
-        report("extractor (128 imgs)", timeit(extract, ep, imgs))
+        report("extractor (128 imgs)", timeit(extract, ep, imgs),
+               extract, (ep, imgs))
 
         # per-level feature tensors for component probes
         feats = jax.tree.map(
@@ -137,7 +183,7 @@ def main(argv=None):
                 return cost_volume(a * (1 + 1e-6 * i), b).astype(
                     jnp.float32).sum()
             report(f"cost_volume L{lvl} {tuple(a.shape)}",
-                   timeit(cv, a, b))
+                   timeit(cv, a, b), cv, (a, b))
 
         for lvl in (0, 1):
             a, fl = f_pair[lvl], flows[lvl]
@@ -146,7 +192,7 @@ def main(argv=None):
                 return backwarp_auto(a * (1 + 1e-6 * i), fl).astype(
                     jnp.float32).sum()
             report(f"backwarp L{lvl} {tuple(a.shape)}",
-                   timeit(bw, a, fl))
+                   timeit(bw, a, fl), bw, (a, fl))
 
         for lvl in (0, 1, 2):
             dec = LiteDecoder(lvl, dtype=dt)
@@ -158,7 +204,8 @@ def main(argv=None):
                 return out.astype(jnp.float32).sum() + \
                     feat.astype(jnp.float32).sum()
             report(f"decoder L{lvl} (cv+convs)",
-                   timeit(decf, dp, f_tgt[lvl], f_pair[lvl]))
+                   timeit(decf, dp, f_tgt[lvl], f_pair[lvl]),
+                   decf, (dp, f_tgt[lvl], f_pair[lvl]))
 
         ref = LiteRefiner(dtype=dt)
         rx = jnp.concatenate([jnp.zeros((P, H, W, 32), dt), flows[0]],
@@ -168,12 +215,13 @@ def main(argv=None):
         def refine(i, p, x):
             return ref.apply(p, x * (1 + 1e-6 * i)).astype(
                 jnp.float32).sum()
-        report("refiner", timeit(refine, rp, rx))
+        report("refiner", timeit(refine, rp, rx), refine, (rp, rx))
 
         def ups(i, fl):
             out = resize_bilinear(fl * (1 + 1e-6 * i), (H, W)) * 2.0
             return out.astype(jnp.float32).sum()
-        report("flow upsample L1->L0", timeit(ups, flows[1]))
+        report("flow upsample L1->L0", timeit(ups, flows[1]),
+               ups, (flows[1],))
 
         # ---- inner net without wrapper overhead ----
         inner = AlignLiteNet(dtype=dt)
@@ -184,7 +232,8 @@ def main(argv=None):
         def inner_f(i, p, s, t):
             return inner.apply(p, s * (1 + 1e-6 * i), t,
                                target_repeat=N - 1).sum()
-        report("AlignLiteNet fwd (inner)", timeit(inner_f, ip, src, tgt))
+        report("AlignLiteNet fwd (inner)", timeit(inner_f, ip, src, tgt),
+               inner_f, (ip, src, tgt))
     finally:
         if guard:
             guard.__exit__(None, None, None)
