@@ -12,7 +12,13 @@ The probe timeout must cover the relay's COLD-START cost, not just a
 healthy round-trip: a fresh probe process pays jax import + remote
 backend init + a remote 64x64 compile, measured at ~130 s on a slow
 but HEALTHY tunnel (round 4: a 90 s default declared a working chip
-unreachable and stalled the campaign driver in its polling loop).
+unreachable and stalled the campaign driver in its polling loop), AND
+the relay's DEGRADED weather: round 5 observed an otherwise-working
+relay where fresh-session setup took anywhere from 50 s to ~6 min at
+random for ~an hour; a 300 s timeout kept a healthy chip "unreachable"
+for that whole window. 600 s costs nothing when healthy (the probe
+returns as soon as the subprocess exits) and rides out the degraded
+mode.
 
 The probe runs in a SUBPROCESS: on a wedged relay, backend init hangs
 inside ``jax.devices()`` and cannot be interrupted in-process, so an
@@ -37,7 +43,7 @@ _PROBE_SNIPPET = ("import jax, jax.numpy as jnp; "
                   "assert float((x @ x).sum()) == 64.0 * 64 * 64")
 
 
-def backend_ready(timeout: float = 300.0,
+def backend_ready(timeout: float = 600.0,
                   probe_argv: Optional[Sequence[str]] = None,
                   log: Optional[Callable[[str], None]] = None) -> bool:
     """True when a fresh process can initialize the JAX backend within
@@ -76,7 +82,7 @@ def backend_ready(timeout: float = 300.0,
 
 def wait_for_backend(poll_interval: float = 150.0,
                      max_wait: Optional[float] = None,
-                     timeout: float = 300.0,
+                     timeout: float = 600.0,
                      probe_argv: Optional[Sequence[str]] = None,
                      log: Callable[[str], None] = print) -> bool:
     """Block until :func:`backend_ready`; returns False if ``max_wait``
