@@ -303,6 +303,38 @@ def test_resident_training_monitors_and_retries(tmp_path, capsys):
     assert "attempts left" not in out
 
 
+def test_kill_stray_trainers_matches_by_workspace_env(tmp_path):
+    """Only run_training processes bound to THIS workspace (by their
+    DBSR_TPU_WORKSPACE_DIR env) are killed — never other commands, other
+    workspaces, or the caller itself."""
+    proc = tmp_path / "proc"
+    ws = "/root/dbsr_campaign_x"
+
+    def fake(pid, cmd, env_pairs):
+        d = proc / str(pid)
+        d.mkdir(parents=True)
+        (d / "cmdline").write_bytes(cmd.replace(" ", "\0").encode())
+        (d / "environ").write_bytes(
+            b"\0".join(f"{k}={v}".encode() for k, v in env_pairs) + b"\0")
+
+    fake(101, "python run_training.py dbsr default_synthetic",
+         [("DBSR_TPU_WORKSPACE_DIR", ws)])                 # stray: kill
+    fake(102, "python run_training.py dbsr default_synthetic",
+         [("DBSR_TPU_WORKSPACE_DIR", "/root/other_ws")])   # other ws
+    fake(103, "python run_evaluation.py synburst",
+         [("DBSR_TPU_WORKSPACE_DIR", ws)])                 # not a trainer
+    fake(104, "python run_training.py dbsr default_synthetic",
+         [("HOME", "/root")])                              # no ws binding
+    (proc / "abc").mkdir()                                 # non-pid entry
+
+    killed_sig = []
+    out = pc.kill_stray_trainers(
+        ws, log=lambda m: None, proc=str(proc),
+        kill=lambda pid, sig: killed_sig.append((pid, sig)))
+    assert out == [101]
+    assert killed_sig == [(101, 9)]
+
+
 def test_resident_training_first_checkpoint_gets_doubled_window(tmp_path):
     """A fresh trainer's FIRST checkpoint rides a cold-cache remote
     compile (measured 14 min post-reset); the stall window before any

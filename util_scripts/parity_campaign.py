@@ -309,6 +309,41 @@ def seed_dbsr_from_bank(ws: str) -> str:
     return dst
 
 
+def kill_stray_trainers(ws: str, log=print, proc: str = "/proc",
+                        kill=os.kill) -> list:
+    """Kill any run_training process bound to workspace ``ws`` that this
+    driver does not own (matched by its ``DBSR_TPU_WORKSPACE_DIR`` env,
+    never by name alone). A driver killed between wait_backend and its
+    monitor loop leaves an ORPHAN trainer; the relaunched driver would
+    then start a second one and the two race on one chip and one
+    checkpoint directory (observed live in round 5). Returns the pids
+    killed."""
+    me = os.getpid()
+    want = os.path.normpath(ws)
+    killed = []
+    for pid in os.listdir(proc):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(os.path.join(proc, pid, "cmdline"), "rb") as f:
+                cmd = f.read().decode("utf-8", "replace")
+            if "run_training.py" not in cmd:
+                continue
+            with open(os.path.join(proc, pid, "environ"), "rb") as f:
+                envblob = f.read().decode("utf-8", "replace")
+        except OSError:
+            continue
+        if f"DBSR_TPU_WORKSPACE_DIR={want}\0" not in envblob + "\0":
+            continue
+        try:
+            kill(int(pid), 9)
+            killed.append(int(pid))
+            log(f"killed stray trainer pid={pid} for {want}")
+        except OSError:
+            pass
+    return killed
+
+
 def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
                       max_retries, eval_batch, pending_evals, eval_epochs,
                       poll_s: float = 20.0, popen=None, sleep=time.sleep,
@@ -338,6 +373,7 @@ def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
 
     while current() < epochs:
         wait_backend(log=lambda m: print(f"train: {m}", flush=True))
+        kill_stray_trainers(ws, log=lambda m: print(m, flush=True))
         print(f"+ {' '.join(argv)} (resident)", flush=True)
         log = open(log_path, "a")
         log.write(f"\n===== {time.strftime('%F %T')} {' '.join(argv)} "
