@@ -303,6 +303,77 @@ def test_resident_training_monitors_and_retries(tmp_path, capsys):
     assert "attempts left" not in out
 
 
+def test_resident_training_kills_cpu_frozen_trainer(tmp_path, capsys):
+    """A trainer whose host CPU time is frozen (relay-wedge signature:
+    ~0.3%/s background noise, no real work) is killed after
+    freeze_timeout and relaunched WITHOUT burning the retry budget; a
+    healthy trainer accruing CPU is left alone until it progresses."""
+    ws = str(tmp_path)
+    ckpt_dir = os.path.join(ws, "dbsr", "default_synthetic")
+    os.makedirs(ckpt_dir)
+
+    class FakeProc:
+        pid = 12345
+        returncode = None
+
+        def __init__(self):
+            self.killed_at = None
+
+        def poll(self):
+            return -9 if self.killed_at is not None else None
+
+        def kill(self):
+            self.killed_at = clock["t"]
+            self.returncode = -9
+
+        def wait(self):
+            return -9
+
+    clock = {"t": 0.0}
+    procs = []
+    # cpu schedules: proc 1 wedged (0.005 cpu-s/s of noise); proc 2
+    # healthy (20% duty) and writes the target checkpoint when polled
+    # enough
+    rates = [0.005, 0.2]
+
+    def cpu_probe(pid):
+        return rates[len(procs) - 1] * clock["t"]
+
+    def popen(argv, **kw):
+        procs.append(FakeProc())
+        if len(procs) == 2:
+            # healthy successor reaches the target after ~8 polls
+            orig_poll = procs[-1].poll
+
+            def poll():
+                if clock["t"] > procs[0].killed_at + 160:
+                    open(os.path.join(
+                        ckpt_dir, "dbsr_synthetic_ep0005.ckpt"),
+                        "w").close()
+                return orig_poll()
+            procs[-1].poll = poll
+        return procs[-1]
+
+    pc.resident_training(
+        ws, 5, ["fake_trainer"], env={}, log_path=os.path.join(ws, "l"),
+        stall_timeout=10_000.0, max_retries=2, eval_batch=99,
+        pending_evals=lambda now: [],
+        eval_epochs=lambda pend: None,
+        poll_s=20.0, popen=popen,
+        sleep=lambda s: clock.__setitem__("t", clock["t"] + s),
+        now=lambda: clock["t"],
+        wait_backend=lambda log: None,
+        cpu_probe=cpu_probe, freeze_timeout=600.0)
+
+    out = capsys.readouterr().out
+    assert "cpu-frozen" in out
+    # wedge-kill happened around freeze_timeout, far before the
+    # checkpoint stall window
+    assert 600.0 <= procs[0].killed_at <= 700.0
+    # and the wedge kill did not burn the retry budget
+    assert "attempts left" not in out
+
+
 def test_kill_stray_trainers_matches_by_workspace_env(tmp_path):
     """Only run_training processes bound to THIS workspace (by their
     DBSR_TPU_WORKSPACE_DIR env) are killed — never other commands, other

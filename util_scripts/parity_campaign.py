@@ -344,10 +344,21 @@ def kill_stray_trainers(ws: str, log=print, proc: str = "/proc",
     return killed
 
 
+def _cpu_seconds(pid, proc: str = "/proc"):
+    """utime+stime of ``pid`` in seconds, or None when unreadable."""
+    try:
+        with open(os.path.join(proc, str(pid), "stat")) as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
                       max_retries, eval_batch, pending_evals, eval_epochs,
                       poll_s: float = 20.0, popen=None, sleep=time.sleep,
-                      now=time.time, wait_backend=None):
+                      now=time.time, wait_backend=None,
+                      cpu_probe=_cpu_seconds, freeze_timeout: float = 600.0):
     """RESIDENT training: ONE subprocess driven to the final epoch — the
     compiled step, staged pools and process state stay resident across
     the whole campaign (the per-chunk ~380 s startup tax becomes a
@@ -384,6 +395,7 @@ def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
         start_epoch = last = current()
         t_progress = now()
         stalled = False
+        cpu_last, t_cpu = None, now()
         backlog = pending_evals(last)
         if backlog:
             # score the backlog of a relaunched/restarted driver right
@@ -392,9 +404,38 @@ def resident_training(ws, epochs, argv, env, log_path, stall_timeout,
             t_progress = now()  # eval time is not trainer stall time
         while proc.poll() is None:
             sleep(poll_s)
+            # Relay-wedge detection, independent of checkpoint cadence:
+            # a trainer stuck on a dead relay socket sleeps with FROZEN
+            # host CPU time. Every healthy phase — staging's many small
+            # device calls, step dispatch, even the cold-cache compile
+            # sequence (small compiles interleaved with device setup) —
+            # accrues host CPU continuously; round 5 measured wedged
+            # trainers at <0.2 cpu-s over 10 wall-minutes. Killing on a
+            # long CPU freeze turns a 30-min first-checkpoint stall
+            # window into ~freeze_timeout of lost time per wedge.
+            cpu = cpu_probe(getattr(proc, "pid", None))
+            if cpu is not None:
+                # liveness = sustained >=2% host CPU (wedged trainers
+                # idle at ~0.3% of background-thread noise; healthy
+                # staging runs at ~15-20%, steady-state dispatch above
+                # 2%); checkpoint progress below also resets the clock,
+                # so only the pre-first-checkpoint phase relies on this
+                # rate alone
+                if cpu_last is None or cpu - cpu_last >= max(
+                        1.0, 0.02 * (now() - t_cpu)):
+                    cpu_last, t_cpu = cpu, now()
+                elif now() - t_cpu > freeze_timeout:
+                    print(f"trainer cpu-frozen for {freeze_timeout:.0f}s "
+                          "(relay wedge); relaunching", flush=True)
+                    proc.kill()
+                    proc.wait()
+                    stalled = True
+                    break
             cur = current()
             if cur > last:
                 last, t_progress = cur, now()
+                if cpu is not None:
+                    cpu_last, t_cpu = cpu, now()  # ckpt progress = alive
                 attempts_left = max_retries  # progress resets the budget
                 pend = pending_evals(cur)
                 if len(pend) >= eval_batch:
